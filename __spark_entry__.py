@@ -1,38 +1,112 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship transcript→triples pipeline at
+sf0.001; ``queries()``/``oracle_sql()`` expose each implemented operator with
+a DuckDB-checkable ANSI-SQL oracle (run at sf0.01 by the driver).
+
+The transcripts table is synthesized deterministically from the driver's
+``events`` parquet via a shared transformation (see
+pyld_spark.transcripts.TRANSCRIPTS_FROM_EVENTS_SQL) so the oracle can verify
+transcript-shaped queries too.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyld_spark.transcripts import (  # noqa: E402
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    transcripts_from_events,
+)
+from pyld_spark.operators.triples import turn_literal_triples  # noqa: E402
+
+_SF0001 = "/root/testdata/sf0.001"
+
+# --- shared SQL fragments for oracles -------------------------------------
+
+_T_CTE = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+
+_VOCAB = "https://pyld-spark.example/vocab#"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_CONV = "https://pyld-spark.example/conv/"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → per-turn RDF triples at sf0.001."""
+    t = transcripts_from_events(spark, _SF0001)
+    return turn_literal_triples(t)
+
+
+# --- queries ---------------------------------------------------------------
+
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir).drop("ts")
+
+
+def _q_assembly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = transcripts_from_events(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.min("turn_idx").cast("int").alias("min_turn"),
+        F.max("turn_idx").cast("int").alias("max_turn"),
+        F.sum(F.length("text")).cast("bigint").alias("text_chars"),
+        F.count("tool").cast("bigint").alias("n_tool_turns"),
+    )
+
+
+def _q_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return turn_literal_triples(transcripts_from_events(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_from_events": _q_transcripts,
+        "assembly_stats": _q_assembly_stats,
+        "turn_literal_triples": _q_turn_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    turn_subj = f"concat('{_CONV}', conv_id, '/turn/', CAST(turn_idx AS STRING))"
+    return {
+        "transcripts_from_events": (
+            f"{_T_CTE} SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
+        ),
+        "assembly_stats": f"""{_T_CTE}
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(min(turn_idx) AS INT) AS min_turn,
+                   CAST(max(turn_idx) AS INT) AS max_turn,
+                   CAST(sum(length(text)) AS BIGINT) AS text_chars,
+                   CAST(count(tool) AS BIGINT) AS n_tool_turns
+            FROM transcripts GROUP BY conv_id""",
+        "turn_literal_triples": f"""{_T_CTE}, base AS (
+              SELECT {turn_subj} AS subj, turn_idx, role, text, tool FROM transcripts
+            )
+            SELECT subj, '{_RDF}type' AS pred, 'IRI' AS obj_kind,
+                   '{_VOCAB}Turn' AS obj_value,
+                   CAST(NULL AS STRING) AS obj_datatype, CAST(NULL AS STRING) AS obj_language
+            FROM base
+            UNION ALL
+            SELECT subj, '{_VOCAB}turnIndex', 'literal', CAST(turn_idx AS STRING),
+                   '{_XSD}integer', CAST(NULL AS STRING) FROM base
+            UNION ALL
+            SELECT subj, '{_VOCAB}role', 'literal', role,
+                   '{_XSD}string', CAST(NULL AS STRING) FROM base
+            UNION ALL
+            SELECT subj, '{_VOCAB}text', 'literal', text,
+                   '{_XSD}string', CAST(NULL AS STRING) FROM base
+            UNION ALL
+            SELECT subj, '{_VOCAB}tool', 'literal', tool,
+                   '{_XSD}string', CAST(NULL AS STRING) FROM base WHERE tool IS NOT NULL""",
+    }

@@ -1,0 +1,624 @@
+"""JSON-LD 1.1 context processing: active contexts, term definitions, IRI
+expansion (W3C JSON-LD 1.1 API §4.1, §4.2, §5.2).
+
+Fresh implementation from the spec; behavioral parity target is the reference
+processor's _process_context / _create_term_definition / _expand_iri
+(/root/reference/lib/pyld/jsonld.py:3198-3581, 5500-6031, 6033-6120).
+
+Spark role (SURVEY.md §2.2): this is *metadata prep*. Static pipeline contexts
+are processed once on the driver and shipped to executors inside UDF closures
+(Context is picklable); per-document dynamic contexts are processed inside the
+pandas-UDF batch against a broadcast dict of pre-fetched context documents —
+executors never touch the network.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+
+from pyld_spark.jsonld.errors import JsonLdError
+from pyld_spark.jsonld.iri import is_absolute_iri, resolve_iri
+
+KEYWORDS = {
+    "@base", "@container", "@context", "@direction", "@graph", "@id",
+    "@import", "@included", "@index", "@json", "@language", "@list", "@nest",
+    "@none", "@prefix", "@propagate", "@protected", "@reverse", "@set",
+    "@type", "@value", "@version", "@vocab",
+    # framing keywords
+    "@default", "@embed", "@explicit", "@omitDefault", "@requireAll",
+    "@preserve", "@null", "@any",
+}
+
+_KEYWORD_LIKE_RE = re.compile(r"^@[A-Za-z]+$")
+
+MAX_CONTEXT_URLS = 10
+
+
+class _Unset:
+    """Picklable tri-state sentinel (absent vs explicit null vs value)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "UNSET"
+
+    def __bool__(self):
+        return False
+
+
+UNSET = _Unset()
+
+
+def is_keyword(value) -> bool:
+    return isinstance(value, str) and value in KEYWORDS
+
+
+def is_keyword_like(value) -> bool:
+    return isinstance(value, str) and bool(_KEYWORD_LIKE_RE.match(value))
+
+
+def arrayify(value) -> list:
+    if value is None:
+        return []
+    return value if isinstance(value, list) else [value]
+
+
+@dataclass
+class TermDef:
+    iri: str | None = None
+    reverse: bool = False
+    type: str | None = None
+    language: object = UNSET  # UNSET | None | str
+    direction: object = UNSET  # UNSET | None | 'ltr' | 'rtl'
+    container: frozenset = frozenset()
+    context: object = UNSET  # scoped context value (raw)
+    context_base: str | None = None
+    nest: str | None = None
+    prefix: bool = False
+    protected: bool = False
+    index: str | None = None
+
+    def same_except_protected(self, other: "TermDef") -> bool:
+        return replace(self, protected=False) == replace(other, protected=False)
+
+
+@dataclass
+class Context:
+    terms: dict = field(default_factory=dict)
+    base: str | None = None
+    original_base: str | None = None
+    vocab: str | None = None
+    default_language: str | None = None
+    default_direction: str | None = None
+    previous: "Context | None" = None
+    processing_mode: str = "json-ld-1.1"
+    # cache slot for the inverse context (built lazily by compaction)
+    _inverse: dict | None = field(default=None, compare=False, repr=False)
+
+    def clone(self) -> "Context":
+        return Context(
+            terms=dict(self.terms),
+            base=self.base,
+            original_base=self.original_base,
+            vocab=self.vocab,
+            default_language=self.default_language,
+            default_direction=self.default_direction,
+            previous=self.previous,
+            processing_mode=self.processing_mode,
+        )
+
+    def has_protected_terms(self) -> bool:
+        return any(t.protected for t in self.terms.values())
+
+
+def initial_context(base: str | None = None, processing_mode: str = "json-ld-1.1") -> Context:
+    return Context(base=base, original_base=base, processing_mode=processing_mode)
+
+
+class DocumentLoader:
+    """Hermetic loader: a dict of pre-fetched documents keyed by URL.
+
+    The scale-out model (SURVEY.md §2.1, frozen-loader pattern): contexts are
+    fetched/bundled ahead of time on the driver and broadcast; executors only
+    ever hit this dict. Unknown URLs raise ``loading remote context failed``.
+    """
+
+    def __init__(self, documents: dict | None = None):
+        self.documents = documents or {}
+
+    def load(self, url: str) -> dict:
+        if url not in self.documents:
+            raise JsonLdError(
+                f"context URL not in preloaded set: {url}", "loading remote context failed"
+            )
+        return {"document": self.documents[url], "documentUrl": url}
+
+
+_EMPTY_LOADER = DocumentLoader()
+
+
+def process_context(
+    active: Context,
+    local,
+    base_url: str | None = None,
+    *,
+    loader: DocumentLoader | None = None,
+    remote_contexts: list | None = None,
+    override_protected: bool = False,
+    propagate: bool = True,
+    validate_scoped: bool = True,
+) -> Context:
+    """Context Processing Algorithm (JSON-LD 1.1 API §4.1.2)."""
+    loader = loader or _EMPTY_LOADER
+    remote_contexts = list(remote_contexts or [])
+    result = active.clone()
+
+    if isinstance(local, dict) and "@propagate" in local:
+        propagate = local["@propagate"]
+    if propagate is False and result.previous is None:
+        result.previous = active
+
+    items = local if isinstance(local, list) else [local]
+    for context in items:
+        if context is None:
+            if not override_protected and active.has_protected_terms():
+                raise JsonLdError(
+                    "tried to nullify a context with protected terms",
+                    "invalid context nullification",
+                )
+            prev = result.previous if propagate is False else None
+            result = initial_context(
+                base=active.original_base, processing_mode=active.processing_mode
+            )
+            result.original_base = active.original_base
+            result.previous = prev
+            continue
+
+        if isinstance(context, str):
+            url = resolve_iri(base_url, context)
+            if url in remote_contexts:
+                raise JsonLdError(f"cyclic context: {url}", "recursive context inclusion")
+            if len(remote_contexts) >= MAX_CONTEXT_URLS:
+                raise JsonLdError("too many remote contexts", "context overflow")
+            remote_contexts.append(url)
+            loaded = loader.load(url)
+            doc = loaded["document"]
+            if not isinstance(doc, dict) or "@context" not in doc:
+                raise JsonLdError(
+                    f"remote context missing @context: {url}",
+                    "invalid remote context",
+                )
+            result = process_context(
+                result,
+                doc["@context"],
+                loaded.get("documentUrl", url),
+                loader=loader,
+                remote_contexts=remote_contexts,
+                validate_scoped=validate_scoped,
+            )
+            continue
+
+        if not isinstance(context, dict):
+            raise JsonLdError("@context must be object/string/null", "invalid local context")
+
+        # @version
+        if "@version" in context:
+            if context["@version"] != 1.1:
+                raise JsonLdError(
+                    f"unsupported @version: {context['@version']}", "invalid @version value"
+                )
+            if result.processing_mode == "json-ld-1.0":
+                raise JsonLdError("@version in 1.0 mode", "processing mode conflict")
+
+        # @import
+        if "@import" in context:
+            if result.processing_mode == "json-ld-1.0":
+                raise JsonLdError("@import in 1.0 mode", "invalid context entry")
+            imp = context["@import"]
+            if not isinstance(imp, str):
+                raise JsonLdError("@import must be a string", "invalid @import value")
+            url = resolve_iri(base_url, imp)
+            loaded = loader.load(url)
+            doc = loaded["document"]
+            imported = doc.get("@context") if isinstance(doc, dict) else None
+            if not isinstance(imported, dict):
+                raise JsonLdError("@import must reference a context object", "invalid remote context")
+            if "@import" in imported:
+                raise JsonLdError("imported context has @import", "invalid context entry")
+            context = {**imported, **context}
+
+        if "@base" in context and not remote_contexts:
+            value = context["@base"]
+            if value is None:
+                result.base = None
+            elif isinstance(value, str):
+                if is_absolute_iri(value):
+                    result.base = value
+                elif result.base is not None:
+                    result.base = resolve_iri(result.base, value)
+                else:
+                    raise JsonLdError(
+                        "relative @base with null base", "invalid base IRI"
+                    )
+            else:
+                raise JsonLdError("@base must be string or null", "invalid base IRI")
+
+        if "@vocab" in context:
+            value = context["@vocab"]
+            if value is None:
+                result.vocab = None
+            elif isinstance(value, str):
+                expanded = expand_iri(result, value, vocab=True, document_relative=True)
+                if not isinstance(expanded, str) or not (
+                    is_absolute_iri(expanded) or expanded.startswith("_:")
+                ):
+                    raise JsonLdError("@vocab must expand to IRI", "invalid vocab mapping")
+                result.vocab = expanded
+            else:
+                raise JsonLdError("@vocab must be string or null", "invalid vocab mapping")
+
+        if "@language" in context:
+            value = context["@language"]
+            if value is None:
+                result.default_language = None
+            elif isinstance(value, str):
+                result.default_language = value.lower()
+            else:
+                raise JsonLdError("@language must be string or null", "invalid default language")
+
+        if "@direction" in context:
+            if result.processing_mode == "json-ld-1.0":
+                raise JsonLdError("@direction in 1.0 mode", "invalid context entry")
+            value = context["@direction"]
+            if value is None:
+                result.default_direction = None
+            elif value in ("ltr", "rtl"):
+                result.default_direction = value
+            else:
+                raise JsonLdError("@direction must be ltr/rtl/null", "invalid base direction")
+
+        if "@propagate" in context:
+            if result.processing_mode == "json-ld-1.0":
+                raise JsonLdError("@propagate in 1.0 mode", "invalid context entry")
+            if not isinstance(context["@propagate"], bool):
+                raise JsonLdError("@propagate must be boolean", "invalid @propagate value")
+
+        protected = context.get("@protected", False)
+        if protected and result.processing_mode == "json-ld-1.0":
+            raise JsonLdError("@protected in 1.0 mode", "invalid context entry")
+
+        defined: dict = {}
+        skip = {
+            "@base", "@vocab", "@language", "@direction", "@propagate",
+            "@import", "@version", "@protected",
+        }
+        for term in context:
+            if term in skip:
+                continue
+            create_term_definition(
+                result,
+                context,
+                term,
+                defined,
+                base_url=base_url,
+                protected=protected,
+                override_protected=override_protected,
+                remote_contexts=remote_contexts,
+                validate_scoped=validate_scoped,
+                loader=loader,
+            )
+    return result
+
+
+_CONTAINER_KEYWORDS = {"@list", "@set", "@index", "@id", "@type", "@language", "@graph"}
+
+
+def _validate_container(container, mode: str) -> frozenset:
+    vals = container if isinstance(container, list) else [container]
+    if mode == "json-ld-1.0":
+        if isinstance(container, list) or container in ("@graph", "@id", "@type"):
+            raise JsonLdError("invalid container in 1.0 mode", "invalid container mapping")
+    if not vals or not all(isinstance(v, str) and v in _CONTAINER_KEYWORDS for v in vals):
+        raise JsonLdError(f"invalid @container: {container!r}", "invalid container mapping")
+    s = frozenset(vals)
+    if len(s) != len(vals):
+        raise JsonLdError("duplicate @container values", "invalid container mapping")
+    if "@list" in s:
+        if s != {"@list"}:
+            raise JsonLdError("@list cannot be combined", "invalid container mapping")
+    elif "@graph" in s:
+        if not s <= {"@graph", "@id", "@index", "@set"} or ("@id" in s and "@index" in s):
+            raise JsonLdError("invalid @graph container combo", "invalid container mapping")
+    elif not (s <= {"@set"} or (len(s - {"@set"}) == 1 and s - {"@set"} <= {
+        "@index", "@id", "@type", "@language"
+    })):
+        raise JsonLdError(f"invalid @container combo: {sorted(s)}", "invalid container mapping")
+    return s
+
+
+def create_term_definition(
+    active: Context,
+    local_ctx: dict,
+    term: str,
+    defined: dict,
+    *,
+    base_url: str | None = None,
+    protected: bool = False,
+    override_protected: bool = False,
+    remote_contexts: list | None = None,
+    validate_scoped: bool = True,
+    loader: DocumentLoader | None = None,
+) -> None:
+    """Create Term Definition (JSON-LD 1.1 API §4.2.2)."""
+    loader = loader or _EMPTY_LOADER
+    if term in defined:
+        if defined[term]:
+            return
+        raise JsonLdError(f"cyclic IRI mapping: {term}", "cyclic IRI mapping")
+    if term == "":
+        raise JsonLdError("empty term", "invalid term definition")
+    defined[term] = False
+    value = local_ctx[term]
+    mode = active.processing_mode
+
+    if term == "@type" and mode != "json-ld-1.0":
+        if not isinstance(value, dict) or not value or not set(value) <= {
+            "@container", "@protected"
+        } or value.get("@container", "@set") != "@set":
+            raise JsonLdError("invalid @type redefinition", "keyword redefinition")
+    elif is_keyword(term):
+        raise JsonLdError(f"cannot redefine keyword {term}", "keyword redefinition")
+    elif is_keyword_like(term):
+        return  # warn + ignore per spec
+
+    previous = active.terms.pop(term, None)
+
+    simple_term = False
+    if value is None:
+        value = {"@id": None}
+    elif isinstance(value, str):
+        value = {"@id": value}
+        simple_term = True
+    elif not isinstance(value, dict):
+        raise JsonLdError(f"invalid term value for {term}", "invalid term definition")
+
+    definition = TermDef(protected=protected)
+    if "@protected" in value:
+        if mode == "json-ld-1.0":
+            raise JsonLdError("@protected in 1.0 mode", "invalid term definition")
+        if not isinstance(value["@protected"], bool):
+            raise JsonLdError("@protected must be boolean", "invalid @protected value")
+        definition.protected = value["@protected"]
+
+    if "@type" in value:
+        t = value["@type"]
+        if not isinstance(t, str):
+            raise JsonLdError("@type mapping must be string", "invalid type mapping")
+        expanded_type = expand_iri(active, t, vocab=True, local_ctx=local_ctx, defined=defined)
+        if expanded_type in ("@json", "@none") and mode == "json-ld-1.0":
+            raise JsonLdError(f"{expanded_type} in 1.0 mode", "invalid type mapping")
+        if expanded_type not in ("@id", "@vocab", "@json", "@none") and not (
+            isinstance(expanded_type, str) and is_absolute_iri(expanded_type)
+        ):
+            raise JsonLdError(f"invalid type mapping: {t}", "invalid type mapping")
+        definition.type = expanded_type
+
+    if "@reverse" in value:
+        if "@id" in value or "@nest" in value:
+            raise JsonLdError("@reverse with @id/@nest", "invalid reverse property")
+        rev = value["@reverse"]
+        if not isinstance(rev, str):
+            raise JsonLdError("@reverse must be string", "invalid IRI mapping")
+        if is_keyword_like(rev):
+            return
+        iri = expand_iri(active, rev, vocab=True, local_ctx=local_ctx, defined=defined)
+        if not isinstance(iri, str) or not is_absolute_iri(iri):
+            raise JsonLdError("@reverse must expand to IRI", "invalid IRI mapping")
+        definition.iri = iri
+        definition.reverse = True
+        if "@container" in value:
+            c = value["@container"]
+            if c is not None and c not in ("@set", "@index"):
+                raise JsonLdError(
+                    "reverse property container must be @set/@index", "invalid reverse property"
+                )
+            if c is not None:
+                definition.container = frozenset([c])
+        active.terms[term] = definition
+        defined[term] = True
+        return
+
+    if "@id" in value and value["@id"] != term:
+        vid = value["@id"]
+        if vid is None:
+            definition.iri = None
+        else:
+            if not isinstance(vid, str):
+                raise JsonLdError("@id mapping must be string", "invalid IRI mapping")
+            if not is_keyword(vid) and is_keyword_like(vid):
+                return
+            iri = expand_iri(active, vid, vocab=True, local_ctx=local_ctx, defined=defined)
+            if iri == "@context":
+                raise JsonLdError("cannot alias @context", "invalid keyword alias")
+            if not (is_keyword(iri) or (isinstance(iri, str) and (
+                is_absolute_iri(iri) or iri.startswith("_:")
+            ))):
+                raise JsonLdError(f"invalid IRI mapping for {term}", "invalid IRI mapping")
+            definition.iri = iri
+            if ":" in term[1:-1] or "/" in term:
+                defined[term] = True
+                if expand_iri(active, term, vocab=True, local_ctx=local_ctx, defined=defined) != iri:
+                    raise JsonLdError(
+                        f"term {term} expands to different IRI", "invalid IRI mapping"
+                    )
+            if (
+                simple_term
+                and isinstance(iri, str)
+                and ":" not in term
+                and "/" not in term
+                and (iri.startswith("_:") or iri[-1:] in "/?#[]@:")
+            ):
+                definition.prefix = True
+    elif ":" in term[1:]:
+        prefix, suffix = term.split(":", 1)
+        if prefix in local_ctx:
+            create_term_definition(
+                active, local_ctx, prefix, defined,
+                base_url=base_url, protected=protected,
+                override_protected=override_protected, loader=loader,
+            )
+        if prefix in active.terms and active.terms[prefix].iri:
+            definition.iri = active.terms[prefix].iri + suffix
+        elif is_absolute_iri(term):
+            definition.iri = term
+        else:
+            raise JsonLdError(f"invalid IRI mapping: {term}", "invalid IRI mapping")
+    elif "/" in term:
+        iri = expand_iri(active, term, vocab=True, local_ctx=local_ctx, defined=defined)
+        if not isinstance(iri, str) or not is_absolute_iri(iri):
+            raise JsonLdError(f"invalid IRI mapping: {term}", "invalid IRI mapping")
+        definition.iri = iri
+    elif term == "@type":
+        definition.iri = "@type"
+    elif active.vocab is not None:
+        definition.iri = active.vocab + term
+    else:
+        raise JsonLdError(
+            f"no @vocab to expand term {term}", "invalid IRI mapping"
+        )
+
+    if "@container" in value:
+        definition.container = _validate_container(value["@container"], mode)
+        if "@type" in definition.container:
+            if definition.type is None:
+                definition.type = "@id"
+            elif definition.type not in ("@id", "@vocab"):
+                raise JsonLdError(
+                    "@type container needs @id/@vocab type", "invalid type mapping"
+                )
+
+    if "@index" in value:
+        if mode == "json-ld-1.0" or "@index" not in definition.container:
+            raise JsonLdError("@index needs @index container", "invalid term definition")
+        idx = value["@index"]
+        expanded_idx = expand_iri(active, idx, vocab=True) if isinstance(idx, str) else None
+        if not isinstance(idx, str) or not (
+            isinstance(expanded_idx, str) and is_absolute_iri(expanded_idx)
+        ):
+            raise JsonLdError("@index must expand to IRI", "invalid term definition")
+        definition.index = idx
+
+    if "@context" in value:
+        if mode == "json-ld-1.0":
+            raise JsonLdError("scoped context in 1.0 mode", "invalid term definition")
+        ctx = value["@context"]
+        if validate_scoped:
+            try:
+                process_context(
+                    active, ctx, base_url,
+                    loader=loader,
+                    override_protected=True,
+                    remote_contexts=list(remote_contexts or []),
+                    validate_scoped=False,
+                )
+            except JsonLdError as e:
+                raise JsonLdError(
+                    f"invalid scoped context for {term}: {e.message}", "invalid scoped context"
+                )
+        definition.context = ctx
+        definition.context_base = base_url
+
+    if "@language" in value and "@type" not in value:
+        lang = value["@language"]
+        if lang is not None and not isinstance(lang, str):
+            raise JsonLdError("@language must be string/null", "invalid language mapping")
+        definition.language = lang.lower() if isinstance(lang, str) else None
+
+    if "@direction" in value and "@type" not in value:
+        d = value["@direction"]
+        if d is not None and d not in ("ltr", "rtl"):
+            raise JsonLdError("@direction must be ltr/rtl/null", "invalid base direction")
+        definition.direction = d
+
+    if "@nest" in value:
+        if mode == "json-ld-1.0":
+            raise JsonLdError("@nest in 1.0 mode", "invalid term definition")
+        nest = value["@nest"]
+        if not isinstance(nest, str) or (nest != "@nest" and nest.startswith("@")):
+            raise JsonLdError("invalid @nest value", "invalid @nest value")
+        definition.nest = nest
+
+    if "@prefix" in value:
+        if mode == "json-ld-1.0" or ":" in term or "/" in term:
+            raise JsonLdError("@prefix not allowed here", "invalid term definition")
+        if not isinstance(value["@prefix"], bool):
+            raise JsonLdError("@prefix must be boolean", "invalid @prefix value")
+        definition.prefix = value["@prefix"]
+        if definition.prefix and is_keyword(definition.iri):
+            raise JsonLdError("keyword cannot be a prefix", "invalid term definition")
+
+    extra = set(value) - {
+        "@id", "@reverse", "@type", "@container", "@context", "@direction",
+        "@index", "@language", "@nest", "@prefix", "@protected",
+    }
+    if extra:
+        raise JsonLdError(
+            f"unknown term definition keys {sorted(extra)}", "invalid term definition"
+        )
+
+    if previous is not None and previous.protected and not override_protected:
+        if not definition.same_except_protected(previous):
+            raise JsonLdError(
+                f"protected term redefinition: {term}", "protected term redefinition"
+            )
+        definition = previous
+
+    active.terms[term] = definition
+    defined[term] = True
+
+
+def expand_iri(
+    active: Context,
+    value,
+    *,
+    document_relative: bool = False,
+    vocab: bool = False,
+    local_ctx: dict | None = None,
+    defined: dict | None = None,
+):
+    """IRI Expansion (JSON-LD 1.1 API §5.2.2)."""
+    if value is None or is_keyword(value):
+        return value
+    if not isinstance(value, str):
+        return value
+    if is_keyword_like(value):
+        return None  # warn + ignore
+    if local_ctx is not None and value in local_ctx and defined is not None and defined.get(value) is not True:
+        create_term_definition(active, local_ctx, value, defined)
+    defn = active.terms.get(value)
+    if defn is not None and is_keyword(defn.iri):
+        return defn.iri
+    if vocab and defn is not None:
+        return defn.iri
+    if ":" in value[1:]:
+        prefix, suffix = value.split(":", 1)
+        if prefix == "_" or suffix.startswith("//"):
+            return value
+        if local_ctx is not None and prefix in local_ctx and defined is not None and defined.get(prefix) is not True:
+            create_term_definition(active, local_ctx, prefix, defined)
+        pdef = active.terms.get(prefix)
+        if pdef is not None and pdef.iri and pdef.prefix:
+            return pdef.iri + suffix
+        if is_absolute_iri(value):
+            return value
+    if vocab and active.vocab is not None:
+        return active.vocab + value
+    if document_relative and active.base is not None:
+        return resolve_iri(active.base, value)
+    return value

@@ -1,0 +1,568 @@
+"""JSON-LD 1.1 Expansion (W3C JSON-LD 1.1 API §5.1-5.3).
+
+Fresh spec implementation; behavioral parity with the reference's
+_expand/_expand_object/_expand_value (/root/reference/lib/pyld/jsonld.py:
+1984-2786, 3746-3818) verified in tests against the reference oracle.
+
+Spark role (SURVEY.md §2.3): this whole module is a pure function of
+(document, processed context) and runs inside `applyInPandas` batches —
+the parallel axis is documents, never tree nodes. Dropped (non-expandable)
+keys are reported through the optional ``on_dropped`` callback, which the
+Spark stage wires to per-partition metric counters.
+"""
+
+from __future__ import annotations
+
+from pyld_spark.jsonld.context import (
+    Context,
+    DocumentLoader,
+    arrayify,
+    expand_iri,
+    is_keyword,
+    is_keyword_like,
+    process_context,
+    UNSET,
+)
+from pyld_spark.jsonld.errors import JsonLdError
+from pyld_spark.jsonld.iri import is_absolute_iri
+
+_FRAME_KEYWORDS = {"@default", "@embed", "@explicit", "@omitDefault", "@requireAll"}
+
+#: Reference parity: when no document base is supplied, the reference resolves
+#: document-relative IRIs against this synthetic base
+#: (/root/reference/lib/pyld/jsonld.py:157, 6112-6115).
+DEFAULT_BASE_IRI = "http://example.org/base/"
+
+
+def is_node_object(v) -> bool:
+    return isinstance(v, dict) and "@value" not in v and "@list" not in v and "@set" not in v
+
+
+def is_value_object(v) -> bool:
+    return isinstance(v, dict) and "@value" in v
+
+
+def is_list_object(v) -> bool:
+    return isinstance(v, dict) and "@list" in v
+
+
+def is_graph_object(v) -> bool:
+    return isinstance(v, dict) and "@graph" in v and not (
+        set(v) - {"@graph", "@id", "@index", "@context"}
+    )
+
+
+def expand(
+    document,
+    *,
+    context: Context,
+    base_url: str | None = None,
+    loader: DocumentLoader | None = None,
+    frame_expansion: bool = False,
+    keep_free_floating: bool = False,
+    on_dropped=None,
+) -> list:
+    """Expand ``document`` against a pre-processed active ``context``.
+
+    Returns the expanded form: an array of node objects.
+    """
+    st = _State(loader, frame_expansion, on_dropped, keep_free_floating)
+    if context.base is None and context.original_base is None:
+        context = context.clone()
+        context.base = DEFAULT_BASE_IRI
+        context.original_base = DEFAULT_BASE_IRI
+    expanded = _expand(st, context, None, document, base_url)
+    if isinstance(expanded, dict) and set(expanded) == {"@graph"}:
+        expanded = expanded["@graph"]
+    if expanded is None:
+        return []
+    return [e for e in arrayify(expanded)]
+
+
+class _State:
+    __slots__ = ("loader", "frame", "on_dropped", "keep_free_floating")
+
+    def __init__(self, loader, frame, on_dropped, keep_free_floating=False):
+        self.loader = loader
+        self.frame = frame
+        self.on_dropped = on_dropped
+        self.keep_free_floating = keep_free_floating
+
+
+def _dropped(st: _State, key: str) -> None:
+    if st.on_dropped is not None:
+        st.on_dropped(key)
+
+
+def _expand(st: _State, active_ctx: Context, active_property, element, base_url, from_map=False):
+    if element is None:
+        return None
+    frame = st.frame
+    if active_property == "@default":
+        frame = False
+        st = _State(st.loader, False, st.on_dropped, st.keep_free_floating)
+
+    defn = active_ctx.terms.get(active_property) if active_property else None
+    property_scoped = defn.context if defn is not None and defn.context is not UNSET else UNSET
+
+    if not isinstance(element, (dict, list)):
+        # scalar
+        if active_property is None or active_property == "@graph":
+            return None  # free-floating scalar
+        if property_scoped is not UNSET:
+            active_ctx = process_context(
+                active_ctx, property_scoped, defn.context_base,
+                loader=st.loader, override_protected=True,
+            )
+        return _expand_value(active_ctx, active_property, element)
+
+    if isinstance(element, list):
+        result = []
+        container = defn.container if defn is not None else frozenset()
+        for item in element:
+            expanded = _expand(st, active_ctx, active_property, item, base_url, from_map)
+            if "@list" in container and isinstance(expanded, list):
+                expanded = {"@list": expanded}
+            if isinstance(expanded, list):
+                result.extend(x for x in expanded if x is not None)
+            elif expanded is not None:
+                result.append(expanded)
+        return result
+
+    # --- map ---
+    # revert term-scoped context unless starting a value object / single-@id ref
+    if (
+        active_ctx.previous is not None
+        and not from_map
+        and not any(expand_iri(active_ctx, k, vocab=True) == "@value" for k in element)
+        and not (
+            len(element) == 1
+            and expand_iri(active_ctx, next(iter(element)), vocab=True) == "@id"
+        )
+    ):
+        active_ctx = active_ctx.previous
+
+    if property_scoped is not UNSET:
+        active_ctx = process_context(
+            active_ctx, property_scoped, defn.context_base,
+            loader=st.loader, override_protected=True,
+        )
+
+    if "@context" in element:
+        active_ctx = process_context(
+            active_ctx, element["@context"], base_url, loader=st.loader
+        )
+
+    # type-scoped contexts
+    type_scoped_ctx = active_ctx
+    input_type = None
+    for key in sorted(element):
+        if expand_iri(active_ctx, key, vocab=True) == "@type":
+            values = arrayify(element[key])
+            for term in sorted(v for v in values if isinstance(v, str)):
+                tdef = type_scoped_ctx.terms.get(term)
+                if tdef is not None and tdef.context is not UNSET:
+                    active_ctx = process_context(
+                        active_ctx, tdef.context, tdef.context_base,
+                        loader=st.loader, propagate=False,
+                    )
+            if values:
+                last = values[-1]
+                if isinstance(last, str):
+                    input_type = expand_iri(active_ctx, last, vocab=True)
+
+    result: dict = {}
+    nests: list = []
+    _expand_keys(
+        st, active_ctx, type_scoped_ctx, active_property, element, result,
+        nests, base_url, input_type, frame,
+    )
+    while nests:
+        nest_el = nests.pop(0)
+        _expand_keys(
+            st, active_ctx, type_scoped_ctx, active_property, nest_el, result,
+            nests, base_url, input_type, frame,
+        )
+
+    # --- post-processing ---
+    if "@value" in result:
+        allowed = {"@value", "@type", "@language", "@direction", "@index"}
+        if set(result) - allowed:
+            raise JsonLdError(
+                f"invalid value object keys: {sorted(set(result) - allowed)}",
+                "invalid value object",
+            )
+        if "@type" in result and ("@language" in result or "@direction" in result):
+            raise JsonLdError("@type with @language/@direction", "invalid value object")
+        if result.get("@type") != "@json":
+            value = result["@value"]
+            if value is None or (isinstance(value, list) and not value):
+                return None if not frame else result
+            if "@language" in result and not (
+                isinstance(value, str)
+                or (frame and isinstance(value, list) and all(isinstance(x, str) for x in value))
+            ):
+                raise JsonLdError(
+                    "@language on non-string @value", "invalid language-tagged value"
+                )
+            if "@type" in result:
+                t = result["@type"]
+                ok = isinstance(t, str) and is_absolute_iri(t)
+                if frame:
+                    ts = t if isinstance(t, list) else [t]
+                    ok = all(isinstance(x, str) and is_absolute_iri(x) for x in ts) or t == []
+                if not ok:
+                    raise JsonLdError(f"invalid @type in value object: {t!r}", "invalid typed value")
+            if not isinstance(value, (str, int, float, bool)) and not frame:
+                raise JsonLdError("@value must be scalar", "invalid value object value")
+        if (
+            (active_property is None or active_property == "@graph")
+            and not frame
+            and not st.keep_free_floating
+        ):
+            return None  # free-floating value object
+        return result
+
+    if "@type" in result and not isinstance(result["@type"], list):
+        result["@type"] = [result["@type"]]
+    elif "@set" in result or "@list" in result:
+        if set(result) - {"@set", "@list", "@index"}:
+            raise JsonLdError(
+                "set/list object with extra keys", "invalid set or list object"
+            )
+        if "@set" in result:
+            return result["@set"] if result["@set"] != [] or frame else []
+
+    if isinstance(result, dict):
+        if len(result) == 1 and "@language" in result:
+            return None
+        if active_property is None or active_property == "@graph":
+            if not frame and not st.keep_free_floating:
+                if not result or "@value" in result or "@list" in result:
+                    return None
+                if set(result) == {"@id"}:
+                    return None
+            elif not result and not frame:
+                return None
+    return result
+
+
+def _expand_keys(
+    st, active_ctx, type_scoped_ctx, active_property, element, result,
+    nests, base_url, input_type, frame,
+):
+    for key in sorted(element):
+        if key == "@context":
+            continue
+        value = element[key]
+        expanded_property = expand_iri(active_ctx, key, vocab=True)
+        if expanded_property is None or not (
+            (isinstance(expanded_property, str) and ":" in expanded_property)
+            or is_keyword(expanded_property)
+        ):
+            _dropped(st, key)
+            continue
+
+        if is_keyword(expanded_property):
+            if active_property == "@reverse":
+                raise JsonLdError(
+                    "keyword inside @reverse map", "invalid reverse property map"
+                )
+            if expanded_property in result and expanded_property not in ("@included", "@type"):
+                raise JsonLdError(
+                    f"colliding keyword: {expanded_property}", "colliding keywords"
+                )
+            _expand_keyword(
+                st, active_ctx, type_scoped_ctx, active_property, key, value,
+                expanded_property, result, nests, base_url, input_type, frame,
+            )
+            continue
+
+        defn = active_ctx.terms.get(key)
+        container = defn.container if defn is not None else frozenset()
+
+        if defn is not None and defn.type == "@json":
+            expanded_value = {"@value": value, "@type": "@json"}
+        elif "@language" in container and isinstance(value, dict):
+            expanded_value = _expand_language_map(active_ctx, defn, value)
+        elif (container & {"@index", "@type", "@id"}) and isinstance(value, dict):
+            expanded_value = _expand_index_map(
+                st, active_ctx, key, defn, container, value, base_url
+            )
+        else:
+            is_list_container = "@list" in container
+            if is_list_container and isinstance(value, list):
+                pass
+            expanded_value = _expand(st, active_ctx, key, value, base_url)
+
+        if expanded_value is None:
+            continue
+
+        if "@list" in container and not is_list_object(expanded_value):
+            expanded_value = {"@list": arrayify(expanded_value)}
+
+        if "@graph" in container and "@id" not in container and "@index" not in container:
+            expanded_value = [
+                v if is_graph_object(v) else {"@graph": arrayify(v)}
+                for v in arrayify(expanded_value)
+            ]
+
+        if defn is not None and defn.reverse:
+            reverse_map = result.setdefault("@reverse", {})
+            for item in arrayify(expanded_value):
+                if is_value_object(item) or is_list_object(item):
+                    raise JsonLdError(
+                        "reverse value must be node", "invalid reverse property value"
+                    )
+                reverse_map.setdefault(expanded_property, []).append(item)
+        else:
+            result.setdefault(expanded_property, []).extend(arrayify(expanded_value))
+
+
+def _expand_keyword(
+    st, active_ctx, type_scoped_ctx, active_property, key, value,
+    expanded_property, result, nests, base_url, input_type, frame,
+):
+    if expanded_property == "@id":
+        if isinstance(value, str):
+            expanded = expand_iri(active_ctx, value, document_relative=True)
+            result["@id"] = expanded
+        elif frame and (
+            value == {} or (isinstance(value, list) and all(isinstance(v, str) for v in value))
+        ):
+            if value == {}:
+                result["@id"] = [{}]
+            else:
+                result["@id"] = [
+                    expand_iri(active_ctx, v, document_relative=True) for v in value
+                ]
+        else:
+            raise JsonLdError("@id must be a string", "invalid @id value")
+        return
+    if expanded_property == "@type":
+        def _ex(t):
+            return expand_iri(type_scoped_ctx, t, vocab=True, document_relative=True)
+
+        if isinstance(value, str):
+            expanded = _ex(value)
+        elif isinstance(value, list) and all(isinstance(v, str) for v in value):
+            expanded = [_ex(v) for v in value]
+        elif frame and isinstance(value, dict):
+            if value == {}:
+                expanded = value
+            elif set(value) == {"@default"}:
+                expanded = {"@default": [
+                    _ex(v) for v in arrayify(value["@default"])
+                ]}
+            else:
+                raise JsonLdError("invalid @type frame pattern", "invalid type value")
+        else:
+            raise JsonLdError("@type must be string(s)", "invalid type value")
+        if "@type" in result:
+            existing = arrayify(result["@type"])
+            result["@type"] = existing + arrayify(expanded)
+        else:
+            result["@type"] = expanded
+        return
+    if expanded_property == "@included":
+        if active_ctx.processing_mode == "json-ld-1.0":
+            _dropped(st, key)
+            return
+        included = [
+            v for v in arrayify(_expand(st, active_ctx, None, value, base_url)) if v is not None
+        ]
+        if not all(is_node_object(v) for v in included):
+            raise JsonLdError("@included values must be nodes", "invalid @included value")
+        result.setdefault("@included", []).extend(included)
+        return
+    if expanded_property == "@graph":
+        expanded = _expand(st, active_ctx, "@graph", value, base_url)
+        result["@graph"] = [v for v in arrayify(expanded) if v is not None]
+        return
+    if expanded_property == "@value":
+        if input_type == "@json" and active_ctx.processing_mode != "json-ld-1.0":
+            result["@value"] = value
+        elif value is None or isinstance(value, (str, int, float, bool)) or (
+            frame and (
+                value == {} or (
+                    isinstance(value, list)
+                    and all(isinstance(v, (str, int, float, bool)) for v in value)
+                )
+            )
+        ):
+            result["@value"] = value
+        else:
+            raise JsonLdError("@value must be scalar/null", "invalid value object value")
+        return
+    if expanded_property == "@language":
+        if isinstance(value, str):
+            result["@language"] = value.lower()
+        elif frame and (
+            value == {} or (isinstance(value, list) and all(isinstance(v, str) for v in value))
+        ):
+            result["@language"] = [v.lower() for v in arrayify(value)] if value != {} else value
+        else:
+            raise JsonLdError("@language must be a string", "invalid language-tagged string")
+        return
+    if expanded_property == "@direction":
+        if active_ctx.processing_mode == "json-ld-1.0":
+            _dropped(st, key)
+            return
+        if value in ("ltr", "rtl") or (
+            frame and (
+                value == {} or (isinstance(value, list) and all(v in ("ltr", "rtl") for v in value))
+            )
+        ):
+            result["@direction"] = value
+        else:
+            raise JsonLdError("@direction must be ltr/rtl", "invalid base direction")
+        return
+    if expanded_property == "@index":
+        if isinstance(value, str):
+            result["@index"] = value
+        else:
+            raise JsonLdError("@index must be a string", "invalid @index value")
+        return
+    if expanded_property == "@list":
+        if active_property is None or active_property == "@graph":
+            return  # free-floating list
+        expanded = _expand(st, active_ctx, active_property, value, base_url)
+        result["@list"] = [v for v in arrayify(expanded) if v is not None]
+        return
+    if expanded_property == "@set":
+        expanded = _expand(st, active_ctx, active_property, value, base_url)
+        result["@set"] = [v for v in arrayify(expanded) if v is not None]
+        return
+    if expanded_property == "@reverse":
+        if not isinstance(value, dict):
+            raise JsonLdError("@reverse must be a map", "invalid @reverse value")
+        expanded = _expand(st, active_ctx, "@reverse", value, base_url)
+        if isinstance(expanded, dict) and "@reverse" in expanded:
+            for prop, items in expanded["@reverse"].items():
+                result.setdefault(prop, []).extend(arrayify(items))
+        if isinstance(expanded, dict):
+            reverse_map = None
+            for prop, items in expanded.items():
+                if prop == "@reverse":
+                    continue
+                if reverse_map is None:
+                    reverse_map = result.setdefault("@reverse", {})
+                for item in arrayify(items):
+                    if is_value_object(item) or is_list_object(item):
+                        raise JsonLdError(
+                            "reverse value must be node", "invalid reverse property value"
+                        )
+                    reverse_map.setdefault(prop, []).append(item)
+        return
+    if expanded_property == "@nest":
+        for nv in arrayify(value):
+            if not isinstance(nv, dict) or any(
+                expand_iri(active_ctx, k, vocab=True) == "@value" for k in nv
+            ):
+                raise JsonLdError("invalid @nest value", "invalid @nest value")
+            nests.append(nv)
+        return
+    if expanded_property in _FRAME_KEYWORDS:
+        if frame or expanded_property == "@default":
+            expanded = _expand(st, active_ctx, expanded_property, value, base_url)
+            if expanded is not None or expanded_property == "@default":
+                result[expanded_property] = arrayify(expanded)
+        return
+    if expanded_property == "@preserve":
+        expanded = _expand(st, active_ctx, active_property, value, base_url)
+        if expanded is not None:
+            result["@preserve"] = arrayify(expanded)
+        return
+    # other keywords (@base, @vocab, ...) are not valid document keys — drop
+    _dropped(st, key)
+
+
+def _expand_language_map(active_ctx: Context, defn, value: dict) -> list:
+    result = []
+    direction = defn.direction if defn.direction is not UNSET else active_ctx.default_direction
+    for lang in sorted(value):
+        items = arrayify(value[lang])
+        expanded_lang = expand_iri(active_ctx, lang, vocab=True)
+        for item in items:
+            if item is None:
+                continue
+            if not isinstance(item, str):
+                raise JsonLdError(
+                    "language map values must be strings", "invalid language map value"
+                )
+            obj = {"@value": item}
+            if expanded_lang != "@none":
+                obj["@language"] = lang.lower()
+            if direction:
+                obj["@direction"] = direction
+            result.append(obj)
+    return result
+
+
+def _expand_index_map(st, active_ctx, key, defn, container, value, base_url):
+    result = []
+    index_key = defn.index if defn is not None and defn.index else "@index"
+    for index in sorted(value):
+        items = value[index]
+        map_context = active_ctx
+        if container & {"@id", "@type"}:
+            idef = active_ctx.terms.get(index)
+            if "@type" in container and idef is not None and idef.context is not UNSET:
+                map_context = process_context(
+                    active_ctx, idef.context, idef.context_base, loader=st.loader
+                )
+        expanded_index = expand_iri(active_ctx, index, vocab=True)
+        expanded_items = _expand(st, map_context, key, arrayify(items), base_url, from_map=True)
+        for item in arrayify(expanded_items):
+            if item is None:
+                continue
+            if "@graph" in container and not is_graph_object(item):
+                item = {"@graph": arrayify(item)}
+            if "@index" in container:
+                if index_key != "@index":
+                    # property-valued index (@index: <prop>)
+                    re_expanded = _expand_value(active_ctx, index_key, index)
+                    prop = expand_iri(active_ctx, index_key, vocab=True)
+                    existing = arrayify(item.get(prop))
+                    item[prop] = [re_expanded] + existing
+                elif expanded_index != "@none" and "@index" not in item:
+                    item["@index"] = index
+            elif "@id" in container:
+                if expanded_index != "@none" and "@id" not in item:
+                    item["@id"] = expand_iri(active_ctx, index, document_relative=True)
+            elif "@type" in container:
+                if expanded_index != "@none":
+                    item["@type"] = [expanded_index] + arrayify(item.get("@type"))
+            result.append(item)
+    return result
+
+
+def _expand_value(active_ctx: Context, active_property, value):
+    """Value Expansion (JSON-LD 1.1 API §5.3.2)."""
+    defn = active_ctx.terms.get(active_property)
+    type_mapping = defn.type if defn is not None else None
+
+    if type_mapping == "@id" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, document_relative=True)}
+    if type_mapping == "@vocab" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, vocab=True, document_relative=True)}
+
+    result = {"@value": value}
+    if type_mapping not in (None, "@id", "@vocab", "@none"):
+        result["@type"] = type_mapping
+    elif isinstance(value, str):
+        language = (
+            defn.language
+            if defn is not None and defn.language is not UNSET
+            else active_ctx.default_language
+        )
+        direction = (
+            defn.direction
+            if defn is not None and defn.direction is not UNSET
+            else active_ctx.default_direction
+        )
+        if language is not None:
+            result["@language"] = language
+        if direction is not None:
+            result["@direction"] = direction
+    return result

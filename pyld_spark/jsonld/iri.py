@@ -1,0 +1,157 @@
+"""RFC 3986 IRI resolution (resolve + relativize).
+
+Reference parity: /root/reference/lib/pyld/iri_resolver.py (behavioral only —
+this is a fresh implementation of RFC 3986 §5). Pure string functions, safe
+to vectorize inside pandas UDF batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_PARTS_RE = re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+_ABSOLUTE_IRI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*|_):[^\s]*$")
+
+
+def is_absolute_iri(value: str) -> bool:
+    """Loose absolute-IRI test: scheme (or ``_`` for bnodes) + no whitespace."""
+    return isinstance(value, str) and bool(_ABSOLUTE_IRI_RE.match(value))
+
+
+def parse_iri(iri: str):
+    m = _PARTS_RE.match(iri)
+    return m.groups()  # scheme, authority, path, query, fragment
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    if not path:
+        return ""
+    output: list[str] = []
+    inp = path
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if output:
+                output.pop()
+        elif inp == "/..":
+            inp = "/"
+            if output:
+                output.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            # move first path segment (incl. leading /) to output
+            i = 0
+            if inp.startswith("/"):
+                i = 1
+            j = inp.find("/", i)
+            if j == -1:
+                output.append(inp)
+                inp = ""
+            else:
+                output.append(inp[:j])
+                inp = inp[j:]
+    return "".join(output)
+
+
+def resolve_iri(base: str | None, rel: str) -> str:
+    """RFC 3986 §5.2 transform-references merge."""
+    if rel is None:
+        rel = ""
+    if base is None or base == "":
+        return rel
+    r_scheme, r_auth, r_path, r_query, r_frag = parse_iri(rel)
+    b_scheme, b_auth, b_path, b_query, _ = parse_iri(base)
+    if r_scheme is not None:
+        scheme, auth, path, query = r_scheme, r_auth, remove_dot_segments(r_path), r_query
+    else:
+        scheme = b_scheme
+        if r_auth is not None:
+            auth, path, query = r_auth, remove_dot_segments(r_path), r_query
+        else:
+            if r_path == "":
+                path = b_path
+                query = r_query if r_query is not None else b_query
+            else:
+                if r_path.startswith("/"):
+                    path = remove_dot_segments(r_path)
+                else:
+                    # merge paths (RFC 3986 §5.2.3)
+                    if b_auth is not None and b_path == "":
+                        merged = "/" + r_path
+                    else:
+                        merged = b_path[: b_path.rfind("/") + 1] + r_path
+                    path = remove_dot_segments(merged)
+                query = r_query
+            auth = b_auth
+    out = ""
+    if scheme is not None:
+        out += scheme + ":"
+    if auth is not None:
+        out += "//" + auth
+    out += path
+    if query is not None:
+        out += "?" + query
+    if r_frag is not None:
+        out += "#" + r_frag
+    return out
+
+
+def relativize_iri(base: str | None, iri: str) -> str:
+    """Best-effort inverse of :func:`resolve_iri` (used by compaction).
+
+    Returns ``iri`` unchanged when no shortening is possible.
+    """
+    if not base:
+        return iri
+    b_scheme, b_auth, b_path, b_query, _ = parse_iri(base)
+    i_scheme, i_auth, i_path, i_query, i_frag = parse_iri(iri)
+    if b_scheme != i_scheme or b_auth != i_auth:
+        return iri
+    if i_path == b_path:
+        if i_query == b_query:
+            rel = ("#" + i_frag) if i_frag is not None else ""
+            if rel == "" and b_query is not None and i_query is None:
+                return iri
+            if rel:
+                return rel
+            # same doc, no fragment
+            seg = b_path[b_path.rfind("/") + 1:]
+            return seg or iri
+        rel = ("?" + i_query) if i_query is not None else ""
+        if i_frag is not None:
+            rel += "#" + i_frag
+        return rel or iri
+    b_segs = b_path.split("/")[:-1]
+    i_segs = i_path.split("/")
+    common = 0
+    while (
+        common < len(b_segs)
+        and common < len(i_segs) - 1
+        and b_segs[common] == i_segs[common]
+    ):
+        common += 1
+    ups = len(b_segs) - common
+    rel = "../" * ups + "/".join(i_segs[common:])
+    if rel == "":
+        rel = "./"
+    if i_query is not None:
+        rel += "?" + i_query
+    if i_frag is not None:
+        rel += "#" + i_frag
+    if len(rel) < len(iri):
+        return rel
+    return iri

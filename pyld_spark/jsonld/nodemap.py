@@ -1,0 +1,262 @@
+"""Node Map Generation + Flattening (W3C JSON-LD 1.1 API §7, flattening spec).
+
+The tree→graph pivot: expanded form → ``{graph → {subject → node}}``.
+Reference parity: _create_node_map / _flatten
+(/root/reference/lib/pyld/jsonld.py:4108-4307, 2845-2875).
+
+Spark role (SURVEY.md §2.4): documents are independent, so the node map is
+built per document inside the pandas UDF and then exploded to rows; blank
+node labels are doc-local (``_:b0...``) and namespaced with the document hash
+when a corpus-global table is materialized.
+"""
+
+from __future__ import annotations
+
+from pyld_spark.jsonld.context import arrayify, is_keyword
+from pyld_spark.jsonld.errors import JsonLdError
+
+
+class IdentifierIssuer:
+    """Deterministic blank-node relabeling (``prefix`` + counter).
+
+    First-encounter order is preserved in ``order`` — load-bearing for
+    URDNA2015 (reference: /root/reference/lib/pyld/identifier_issuer.py).
+    """
+
+    def __init__(self, prefix: str = "_:b"):
+        self.prefix = prefix
+        self.counter = 0
+        self.issued: dict[str, str] = {}
+        self.order: list[str] = []
+
+    def get_id(self, old: str | None = None) -> str:
+        if old is not None and old in self.issued:
+            return self.issued[old]
+        new_id = f"{self.prefix}{self.counter}"
+        self.counter += 1
+        if old is not None:
+            self.issued[old] = new_id
+            self.order.append(old)
+        return new_id
+
+    def has_id(self, old: str) -> bool:
+        return old in self.issued
+
+    def clone(self) -> "IdentifierIssuer":
+        c = IdentifierIssuer(self.prefix)
+        c.counter = self.counter
+        c.issued = dict(self.issued)
+        c.order = list(self.order)
+        return c
+
+
+def _is_value(v) -> bool:
+    return isinstance(v, dict) and "@value" in v
+
+
+def _is_list(v) -> bool:
+    return isinstance(v, dict) and "@list" in v
+
+
+def compare_values(v1, v2) -> bool:
+    """JSON-LD equality (reference: jsonld.py:1279-1326): strict primitives
+    (bool is not int), value-object tuples, @id equality."""
+    if type(v1) is bool or type(v2) is bool:
+        return type(v1) is type(v2) and v1 == v2
+    if v1 == v2 and not isinstance(v1, (dict, list)) and not isinstance(v2, (dict, list)):
+        return True
+    if _is_value(v1) and _is_value(v2):
+        return (
+            compare_values(v1.get("@value"), v2.get("@value"))
+            and v1.get("@type") == v2.get("@type")
+            and v1.get("@language") == v2.get("@language")
+            and v1.get("@index") == v2.get("@index")
+        )
+    if (
+        isinstance(v1, dict) and "@id" in v1
+        and isinstance(v2, dict) and "@id" in v2
+    ):
+        return v1["@id"] == v2["@id"]
+    return False
+
+
+def add_value(subject: dict, prop: str, value, allow_duplicate: bool = True) -> None:
+    existing = subject.setdefault(prop, [])
+    if allow_duplicate or not any(compare_values(v, value) for v in existing):
+        existing.append(value)
+
+
+def create_node_map(
+    element,
+    node_map: dict,
+    issuer: IdentifierIssuer,
+    active_graph: str = "@default",
+    active_subject=None,
+    active_property: str | None = None,
+    list_: dict | None = None,
+) -> None:
+    """Node Map Generation. Mutates ``element`` (callers pass fresh expanded
+    output) and fills ``node_map[graph][subject]``."""
+    if isinstance(element, list):
+        for item in element:
+            create_node_map(
+                element=item, node_map=node_map, issuer=issuer,
+                active_graph=active_graph, active_subject=active_subject,
+                active_property=active_property, list_=list_,
+            )
+        return
+    if not isinstance(element, dict):
+        return
+
+    graph = node_map.setdefault(active_graph, {})
+
+    if "@type" in element:
+        types = arrayify(element["@type"])
+        new_types = [
+            issuer.get_id(t) if isinstance(t, str) and t.startswith("_:") else t
+            for t in types
+        ]
+        element["@type"] = new_types if isinstance(element["@type"], list) else new_types[0]
+
+    if "@value" in element:
+        if list_ is None:
+            node = graph[active_subject]
+            add_value(node, active_property, element, allow_duplicate=False)
+        else:
+            list_["@list"].append(element)
+        return
+
+    if "@list" in element:
+        result = {"@list": []}
+        create_node_map(
+            element=element["@list"], node_map=node_map, issuer=issuer,
+            active_graph=active_graph, active_subject=active_subject,
+            active_property=active_property, list_=result,
+        )
+        if list_ is None:
+            node = graph[active_subject]
+            add_value(node, active_property, result)
+        else:
+            list_["@list"].append(result)
+        return
+
+    # node object
+    if "@id" in element:
+        id_ = element.pop("@id")
+        if id_ is None or (isinstance(id_, str) and id_.startswith("_:")):
+            id_ = issuer.get_id(id_)
+    else:
+        id_ = issuer.get_id(None)
+
+    if isinstance(id_, str):
+        graph.setdefault(id_, {"@id": id_})
+    node = graph[id_]
+
+    if isinstance(active_subject, dict):
+        # reverse property: add active_subject (a reference map) under property
+        add_value(node, active_property, active_subject, allow_duplicate=False)
+    elif active_property is not None:
+        reference = {"@id": id_}
+        if list_ is None:
+            subject_node = graph[active_subject]
+            add_value(subject_node, active_property, reference, allow_duplicate=False)
+        else:
+            list_["@list"].append(reference)
+
+    if "@type" in element:
+        for t in arrayify(element.pop("@type")):
+            add_value(node, "@type", t, allow_duplicate=False)
+
+    if "@index" in element:
+        idx = element.pop("@index")
+        if "@index" in node and node["@index"] != idx:
+            raise JsonLdError("conflicting @index values", "conflicting indexes")
+        node["@index"] = idx
+
+    if "@reverse" in element:
+        referenced = {"@id": id_}
+        reverse_map = element.pop("@reverse")
+        for prop, values in reverse_map.items():
+            for value in values:
+                create_node_map(
+                    element=value, node_map=node_map, issuer=issuer,
+                    active_graph=active_graph, active_subject=referenced,
+                    active_property=prop,
+                )
+
+    if "@graph" in element:
+        inner = element.pop("@graph")
+        node_map.setdefault(id_, {})
+        create_node_map(
+            element=inner, node_map=node_map, issuer=issuer, active_graph=id_
+        )
+
+    if "@included" in element:
+        inner = element.pop("@included")
+        create_node_map(
+            element=inner, node_map=node_map, issuer=issuer, active_graph=active_graph
+        )
+
+    for prop in sorted(k for k in element if k != "@id"):
+        values = element[prop]
+        if prop == "@index":
+            continue
+        if is_keyword(prop) and prop not in ("@type",):
+            # framing keywords etc. are copied through
+            node[prop] = values
+            continue
+        if prop.startswith("_:"):
+            prop = issuer.get_id(prop)
+        node.setdefault(prop, [])
+        create_node_map(
+            element=values, node_map=node_map, issuer=issuer,
+            active_graph=active_graph, active_subject=id_, active_property=prop,
+        )
+
+
+def build_node_map(expanded: list, issuer: IdentifierIssuer | None = None) -> dict:
+    issuer = issuer or IdentifierIssuer("_:b")
+    node_map: dict = {"@default": {}}
+    create_node_map(element=expanded, node_map=node_map, issuer=issuer)
+    return node_map
+
+
+def merge_node_map_graphs(node_map: dict) -> dict:
+    """Union all graphs into ``@merged`` (framing support; reference
+    jsonld.py:4309-4337)."""
+    merged: dict = {}
+    issuer = IdentifierIssuer("_:merged-")
+    for name in sorted(node_map):
+        graph = node_map[name]
+        for id_ in sorted(graph):
+            node = graph[id_]
+            mid = issuer.get_id(id_) if id_.startswith("_:") else id_
+            m = merged.setdefault(mid, {"@id": mid})
+            for prop, values in node.items():
+                if prop == "@id":
+                    continue
+                if is_keyword(prop):
+                    m[prop] = values
+                    continue
+                for v in values:
+                    add_value(m, prop, v, allow_duplicate=False)
+    return {"@merged": merged}
+
+
+def flatten(expanded: list) -> list:
+    """Flattening Algorithm: expanded form → flat array of subject nodes."""
+    node_map = build_node_map(expanded)
+    default_graph = node_map["@default"]
+    for graph_name in sorted(k for k in node_map if k != "@default"):
+        entry = default_graph.setdefault(graph_name, {"@id": graph_name})
+        graph = node_map[graph_name]
+        entry.setdefault("@graph", [])
+        for id_ in sorted(graph):
+            node = graph[id_]
+            if not (set(node) == {"@id"}):
+                entry["@graph"].append(node)
+    return [
+        default_graph[id_]
+        for id_ in sorted(default_graph)
+        if set(default_graph[id_]) != {"@id"}
+    ]

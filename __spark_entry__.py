@@ -22,9 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyld_spark.transcripts import (  # noqa: E402
     TRANSCRIPTS_FROM_EVENTS_SQL,
+    assemble_documents,
     transcripts_from_events,
 )
+from pyld_spark.operators.expand_stage import (  # noqa: E402
+    docs_to_canonical_nquads,
+    docs_to_triples,
+    split_quarantine,
+)
 from pyld_spark.operators.triples import turn_literal_triples  # noqa: E402
+from pyld_spark.session import ensure_workers_can_import  # noqa: E402
 
 _SF0001 = "/root/testdata/sf0.001"
 
@@ -39,9 +46,14 @@ _CONV = "https://pyld-spark.example/conv/"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: transcripts → per-turn RDF triples at sf0.001."""
+    """Flagship: full KG-construction path at sf0.001 — transcripts →
+    window-ordered assembly → JSON-LD expansion → node map → RDF triples
+    (Arrow-batched mapInPandas, no Python in the relational stages)."""
+    ensure_workers_can_import(spark)
     t = transcripts_from_events(spark, _SF0001)
-    return turn_literal_triples(t)
+    docs = assemble_documents(t)
+    triples, _quarantine = split_quarantine(docs_to_triples(docs))
+    return triples
 
 
 # --- queries ---------------------------------------------------------------
@@ -68,17 +80,91 @@ def _q_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_literal_triples(transcripts_from_events(spark, sf_dir))
 
 
+def _q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    return triples
+
+
+def _q_canonical_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    out, _ = split_quarantine(docs_to_canonical_nquads(docs))
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_from_events": _q_transcripts,
         "assembly_stats": _q_assembly_stats,
         "turn_literal_triples": _q_turn_triples,
+        "pipeline_triples": _q_pipeline_triples,
+        "canonical_nquads": _q_canonical_nquads,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     turn_subj = f"concat('{_CONV}', conv_id, '/turn/', CAST(turn_idx AS STRING))"
+    # Full-pipeline oracle: reconstructs the complete toRDF output (including
+    # namespaced rdf:first/rest cons-cell bnodes) in portable SQL.
+    pipeline_oracle = f"""{_T_CTE},
+        stats AS (
+          SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
+        ),
+        base AS (
+          SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool,
+                 concat('{_CONV}', t.conv_id) AS conv_iri,
+                 {turn_subj.replace('conv_id', 't.conv_id').replace('turn_idx', 't.turn_idx')} AS turn_iri,
+                 concat('_:d', substr(sha256(t.conv_id), 1, 16), '_b',
+                        CAST(t.turn_idx AS STRING)) AS cell,
+                 concat('_:d', substr(sha256(t.conv_id), 1, 16), '_b',
+                        CAST(t.turn_idx + 1 AS STRING)) AS next_cell,
+                 strftime(t.ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_str,
+                 s.n_turns
+          FROM transcripts t JOIN stats s ON t.conv_id = s.conv_id
+        ),
+        convs AS (SELECT DISTINCT conv_id, conv_iri,
+                         concat('_:d', substr(sha256(conv_id), 1, 16), '_b0') AS head
+                  FROM base)
+        SELECT conv_id AS doc_id, conv_iri AS subj, '{_RDF}type' AS pred,
+               'IRI' AS obj_kind, '{_VOCAB}Conversation' AS obj_value,
+               CAST(NULL AS STRING) AS obj_datatype, CAST(NULL AS STRING) AS obj_language,
+               '@default' AS graph
+        FROM convs
+        UNION ALL
+        SELECT conv_id, conv_iri, '{_VOCAB}turns', 'blank node', head,
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM convs
+        UNION ALL
+        SELECT conv_id, cell, '{_RDF}first', 'IRI', turn_iri,
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base
+        UNION ALL
+        SELECT conv_id, cell, '{_RDF}rest',
+               CASE WHEN turn_idx = n_turns - 1 THEN 'IRI' ELSE 'blank node' END,
+               CASE WHEN turn_idx = n_turns - 1 THEN '{_RDF}nil' ELSE next_cell END,
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base
+        UNION ALL
+        SELECT conv_id, turn_iri, '{_RDF}type', 'IRI', '{_VOCAB}Turn',
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base
+        UNION ALL
+        SELECT conv_id, turn_iri, '{_VOCAB}turnIndex', 'literal',
+               CAST(turn_idx AS STRING), '{_XSD}integer', CAST(NULL AS STRING),
+               '@default' FROM base
+        UNION ALL
+        SELECT conv_id, turn_iri, '{_VOCAB}role', 'literal', role,
+               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base
+        UNION ALL
+        SELECT conv_id, turn_iri, '{_VOCAB}text', 'literal', text,
+               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base
+        UNION ALL
+        SELECT conv_id, turn_iri, '{_VOCAB}tool', 'literal', tool,
+               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base
+        WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_iri, '{_VOCAB}ts', 'literal', ts_str,
+               '{_XSD}dateTime', CAST(NULL AS STRING), '@default' FROM base"""
     return {
+        "pipeline_triples": pipeline_oracle,
         "transcripts_from_events": (
             f"{_T_CTE} SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
         ),

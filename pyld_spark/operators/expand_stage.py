@@ -1,0 +1,193 @@
+"""Spark stages: JSON-LD documents → expanded form → RDF triples / canonical
+N-Quads, as Arrow-batched ``mapInPandas`` transforms.
+
+Scale design (SURVEY.md §3.1):
+- the only shuffle in the whole doc path is the assembly ``groupBy(conv_id)``;
+  expansion/toRDF/canonicalization are per-row ``mapInPandas`` (narrow, no
+  exchange, pipelined with the scan);
+- contexts: static pipeline contexts are processed once per *executor process*
+  (module-level cache keyed by canonical JSON of the inline @context), not per
+  document;
+- blank nodes are doc-local (``_:b0``) and namespaced with a doc-id hash so
+  the corpus-global triples table needs no global counter;
+- spec errors never kill executors: they become quarantine rows
+  (``error_code`` non-null), split off with :func:`split_quarantine`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+TRIPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("subj", StringType(), True),
+        StructField("pred", StringType(), True),
+        StructField("obj_kind", StringType(), True),
+        StructField("obj_value", StringType(), True),
+        StructField("obj_datatype", StringType(), True),
+        StructField("obj_language", StringType(), True),
+        StructField("graph", StringType(), True),
+        StructField("error_code", StringType(), True),
+    ]
+)
+
+NQUADS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("nquads", StringType(), True),
+        StructField("error_code", StringType(), True),
+    ]
+)
+
+# executor-process-level cache of processed contexts (keyed by canonical JSON)
+_CTX_CACHE: dict = {}
+_CTX_CACHE_MAX = 64
+
+
+def _processed_context(ctx_value, base_url):
+    from pyld_spark.jsonld.context import initial_context, process_context
+
+    key = (json.dumps(ctx_value, sort_keys=True, default=str), base_url)
+    cached = _CTX_CACHE.get(key)
+    if cached is None:
+        if len(_CTX_CACHE) >= _CTX_CACHE_MAX:
+            _CTX_CACHE.clear()
+        cached = process_context(initial_context(base=base_url), ctx_value, base_url)
+        _CTX_CACHE[key] = cached
+    return cached
+
+
+def _doc_bnode_namespace(doc_id: str) -> str:
+    # sha256 (not sha1): reproducible in both Spark SQL (sha2(x,256)) and
+    # DuckDB (sha256(x)), so the oracle can reconstruct namespaced bnode ids
+    return "_:d" + hashlib.sha256(doc_id.encode("utf-8")).hexdigest()[:16]
+
+
+def _doc_to_quads(doc_json: str, base_url: str | None):
+    """Parse → expand (context-cached) → node map → quads. Pure function."""
+    from pyld_spark.jsonld.context import initial_context
+    from pyld_spark.jsonld.expand import expand
+    from pyld_spark.jsonld.rdf import to_rdf
+
+    doc = json.loads(doc_json)
+    if isinstance(doc, dict) and "@context" in doc:
+        ctx = _processed_context(doc["@context"], base_url)
+        doc = {k: v for k, v in doc.items() if k != "@context"}
+    else:
+        ctx = initial_context(base=base_url)
+    expanded = expand(doc, context=ctx, base_url=base_url)
+    return to_rdf(expanded)
+
+
+def _term_cols(term: dict):
+    if term["type"] == "literal":
+        return "literal", term["value"], term.get("datatype"), term.get("language")
+    return term["type"], term["value"], None, None
+
+
+def docs_to_triples(
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    doc_col: str = "doc",
+    base_url: str | None = None,
+    namespace_bnodes: bool = True,
+) -> DataFrame:
+    """(doc_id, doc json) → flat triples table (+ quarantine rows).
+
+    Narrow mapInPandas — scales linearly with input partitions; no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyld_spark.jsonld.errors import JsonLdError
+
+        for pdf in batches:
+            rows = []
+            for doc_id, doc_json in zip(pdf[id_col], pdf[doc_col]):
+                try:
+                    quads = _doc_to_quads(doc_json, base_url)
+                except JsonLdError as e:
+                    rows.append((doc_id, None, None, None, None, None, None, None, e.code))
+                    continue
+                except Exception as e:  # noqa: BLE001 — quarantine, never crash
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         f"internal error: {type(e).__name__}")
+                    )
+                    continue
+                ns = _doc_bnode_namespace(doc_id) if namespace_bnodes else None
+
+                def fix(v: str) -> str:
+                    if ns is not None and v.startswith("_:"):
+                        return ns + "_" + v[2:]
+                    return v
+
+                for subj, pred, obj, graph in quads:
+                    sk, sv, _, _ = _term_cols(subj)
+                    pk, pv, _, _ = _term_cols(pred)
+                    ok, ov, odt, olang = _term_cols(obj)
+                    if sk == "blank node":
+                        sv = fix(sv)
+                    if pk == "blank node":
+                        pv = fix(pv)
+                    if ok == "blank node":
+                        ov = fix(ov)
+                    g = graph if graph == "@default" else fix(graph)
+                    rows.append((doc_id, sv, pv, ok, ov, odt, olang, g, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subj", "pred", "obj_kind", "obj_value",
+                    "obj_datatype", "obj_language", "graph", "error_code",
+                ],
+            )
+
+    return docs.mapInPandas(run, TRIPLE_SCHEMA)
+
+
+def docs_to_canonical_nquads(
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    doc_col: str = "doc",
+    base_url: str | None = None,
+    algorithm: str = "URDNA2015",
+) -> DataFrame:
+    """(doc_id, doc json) → per-document canonical N-Quads (``_:c14nN``).
+
+    Valid because transcript bnodes are doc-local: canonicalization components
+    never span documents (SURVEY.md §2.9); each doc canonicalizes
+    independently and in parallel.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyld_spark.jsonld.canon import canonize_quads
+        from pyld_spark.jsonld.errors import JsonLdError
+
+        for pdf in batches:
+            rows = []
+            for doc_id, doc_json in zip(pdf[id_col], pdf[doc_col]):
+                try:
+                    quads = _doc_to_quads(doc_json, base_url)
+                    rows.append((doc_id, canonize_quads(quads, algorithm), None))
+                except JsonLdError as e:
+                    rows.append((doc_id, None, e.code))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((doc_id, None, f"internal error: {type(e).__name__}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "nquads", "error_code"])
+
+    return docs.mapInPandas(run, NQUADS_SCHEMA)
+
+
+def split_quarantine(combined: DataFrame):
+    """Combined stage output → (good rows without error_code, quarantine)."""
+    good = combined.filter(F.col("error_code").isNull()).drop("error_code")
+    bad = combined.filter(F.col("error_code").isNotNull()).select("doc_id", "error_code")
+    return good, bad

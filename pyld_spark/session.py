@@ -2,9 +2,46 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the pyld_spark package for shipping to executors — the local-mode
+    equivalent of ``spark-submit --py-files pyld_spark.zip``. Content-hashed
+    filename so repeated calls are idempotent and stale zips never load."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_dir)
+    files = []
+    for root, _dirs, names in os.walk(pkg_dir):
+        for n in sorted(names):
+            if n.endswith(".py"):
+                files.append(os.path.join(root, n))
+    h = hashlib.sha256()
+    for f in sorted(files):
+        with open(f, "rb") as fh:
+            h.update(f.encode())
+            h.update(fh.read())
+    out = os.path.join("/tmp", f"pyld_spark-{h.hexdigest()[:12]}.zip")
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for f in sorted(files):
+                z.write(f, os.path.relpath(f, repo))
+        os.replace(tmp, out)
+    return out
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make pyld_spark importable on executor Python workers regardless of
+    how the SparkSession was constructed."""
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:  # noqa: BLE001 — already registered under this name
+        pass
 
 
 def get_spark(app_name: str = "pyld_spark", cpus: int | None = None,

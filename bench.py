@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints exactly one JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline stages (the flagship KG-construction path):
+  - assemble:    transcripts → one JSON-LD doc per conversation
+  - triples:     full expand→nodemap→toRDF (mapInPandas) triple emission
+  - canonicalize: corpus-scale c14n label fixpoint + relabel
+  - turn_triples: pure-relational projection (JVM-only baseline)
+
+Throughput context (triples/sec) is included as extra keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) -> dict:
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyld_spark.operators.canonicalize import canonicalize_triples
+    from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
+    from pyld_spark.operators.triples import turn_literal_triples
+    from pyld_spark.session import ensure_workers_can_import, get_spark
+    from pyld_spark.transcripts import assemble_documents, transcripts_from_events
+
+    spark = get_spark("pyld_spark_bench", cpus=cpus)
+    ensure_workers_can_import(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        n = df.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        counts[name] = n
+        return n
+
+    transcripts = transcripts_from_events(spark, sf_dir)
+
+    docs = assemble_documents(transcripts)
+    timed("assemble", docs)
+
+    docs = docs.cache()
+    docs.count()  # materialize so triples timing excludes assembly
+
+    triples_all = docs_to_triples(docs)
+    triples, _q = split_quarantine(triples_all)
+    t0 = time.perf_counter()
+    triples = triples.cache()
+    n_triples = triples.count()
+    queries["triples"] = round(time.perf_counter() - t0, 3)
+    counts["triples"] = n_triples
+
+    canon = canonicalize_triples(triples)
+    timed("canonicalize", canon)
+
+    timed("turn_triples", turn_literal_triples(transcripts))
+
+    total = round(sum(queries.values()), 3)
+    triples_per_sec = round(n_triples / queries["triples"], 1) if queries["triples"] else None
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "kg_pipeline_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "rows": counts,
+        "triples_per_sec": triples_per_sec,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,199 @@
+"""Corpus-scale blank-node canonicalization as a DataFrame fixpoint.
+
+Re-expresses URDNA2015's control flow (reference:
+/root/reference/lib/pyld/canon.py:21-180) as Spark aggregations
+(SURVEY.md §2.9, §4.2):
+
+1. **first-degree hash** = per-bnode ``sha2(concat(sorted masked quads))`` —
+   one explode + one groupBy, fully parallel, whole-stage codegen;
+2. bnodes whose hash is unique *within their document* get canonical labels
+   ``_:c14n{n}`` by first-degree-hash sort order — exactly URDNA2015's simple
+   path (labels are issued in sorted-hash order when every hash is unique);
+3. documents with colliding hashes (automorphic gadgets — rare: transcript
+   bnodes come from @list chains, which hash uniquely) fall back to the exact
+   per-document URDNA2015 in a grouped Arrow UDF.
+
+Everything partitions by ``doc_id``: bnodes are doc-namespaced, so no
+canonicalization component ever spans documents, and the groupBys shuffle on
+the same key the triples table is already clustered by.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_LABEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bnode", StringType(), False),
+        StructField("label", StringType(), False),
+    ]
+)
+
+
+def _masked_quad_expr(self_col):
+    """Serialized N-Quad with `self` bnode → _:a, other bnodes → _:z —
+    the first-degree-hash masking, as a pure column expression."""
+
+    def mask(kind_col, value_col):
+        return (
+            F.when(kind_col == "blank node",
+                   F.when(value_col == self_col, F.lit("_:a")).otherwise(F.lit("_:z")))
+            .otherwise(F.concat(F.lit("<"), value_col, F.lit(">")))
+        )
+
+    subj = F.when(F.col("subj").startswith("_:"),
+                  F.when(F.col("subj") == self_col, F.lit("_:a")).otherwise(F.lit("_:z"))
+                  ).otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
+    pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
+    obj = mask(F.col("obj_kind"), F.col("obj_value"))
+    # literal objects: canonical N-Quads literal form
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    langstring = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    escaped = F.col("obj_value")
+    for raw, esc in (("\\", "\\\\"), ("\t", "\\t"), ("\n", "\\n"), ("\r", "\\r"), ('"', '\\"')):
+        escaped = F.replace(escaped, F.lit(raw), F.lit(esc))
+    lit_form = F.concat(
+        F.lit('"'), escaped, F.lit('"'),
+        F.when(F.col("obj_datatype") == langstring,
+               F.concat(F.lit("@"), F.coalesce(F.col("obj_language"), F.lit(""))))
+        .when(F.col("obj_datatype") == xsd_string, F.lit(""))
+        .otherwise(F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">"))),
+    )
+    obj = F.when(F.col("obj_kind") == "literal", lit_form).otherwise(obj)
+    graph = (
+        F.when(F.col("graph") == "@default", F.lit(""))
+        .when(F.col("graph").startswith("_:"),
+              F.concat(F.lit(" "),
+                       F.when(F.col("graph") == self_col, F.lit("_:a")).otherwise(F.lit("_:z"))))
+        .otherwise(F.concat(F.lit(" <"), F.col("graph"), F.lit(">")))
+    )
+    return F.concat(subj, F.lit(" "), pred, F.lit(" "), obj, graph, F.lit(" .\n"))
+
+
+def _bnode_quad_index(triples: DataFrame) -> DataFrame:
+    """Explode each quad to one row per blank-node position it mentions."""
+    bnodes = F.array_compact(
+        F.array(
+            F.when(F.col("subj").startswith("_:"), F.col("subj")),
+            F.when((F.col("obj_kind") == "blank node"), F.col("obj_value")),
+            F.when(F.col("graph").startswith("_:"), F.col("graph")),
+        )
+    )
+    return (
+        triples.withColumn("bnode", F.explode(F.array_distinct(bnodes)))
+    )
+
+
+def first_degree_hashes(triples: DataFrame) -> DataFrame:
+    """(doc_id, bnode) → first-degree hash.
+
+    One shuffle on (doc_id, bnode); map-side partial aggregation applies
+    because sha2/concat_ws(sort_array(collect_list)) is a standard agg.
+    """
+    idx = _bnode_quad_index(triples)
+    masked = idx.withColumn("masked", _masked_quad_expr(F.col("bnode")))
+    return (
+        masked.groupBy("doc_id", "bnode")
+        .agg(F.sha2(F.concat_ws("", F.sort_array(F.collect_list("masked"))), 256).alias("fd_hash"))
+    )
+
+
+def canonical_labels(triples: DataFrame) -> DataFrame:
+    """(doc_id, bnode) → canonical label ``_:c14nN`` (doc-local numbering).
+
+    Fast path: unique first-degree hashes → row_number over sorted hashes.
+    Slow path (per-doc exact URDNA2015 fallback): only for docs where any
+    hash collides — grouped Arrow UDF over just those docs' quads.
+    """
+    fd = first_degree_hashes(triples)
+    w_doc = Window.partitionBy("doc_id", "fd_hash")
+    fd = fd.withColumn("n_same", F.count("*").over(w_doc))
+    ambiguous_docs = fd.filter(F.col("n_same") > 1).select("doc_id").distinct()
+
+    w_rank = Window.partitionBy("doc_id").orderBy("fd_hash")
+    easy = (
+        fd.join(F.broadcast(ambiguous_docs), "doc_id", "left_anti")
+        .withColumn("label", F.concat(F.lit("_:c14n"), (F.row_number().over(w_rank) - 1).cast("string")))
+        .select("doc_id", "bnode", "label")
+    )
+
+    hard_triples = triples.join(F.broadcast(ambiguous_docs), "doc_id", "left_semi")
+
+    def exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyld_spark.jsonld.canon import URDNA2015
+
+        out = []
+        doc_id = pdf["doc_id"].iloc[0]
+        # sort for run-to-run determinism: partition arrival order must never
+        # influence tie-breaks between automorphic bnodes
+        pdf = pdf.sort_values(
+            ["graph", "subj", "pred", "obj_kind", "obj_value"], kind="mergesort"
+        )
+        quads = []
+        for r in pdf.itertuples(index=False):
+            subj = (
+                {"type": "blank node", "value": r.subj}
+                if r.subj.startswith("_:")
+                else {"type": "IRI", "value": r.subj}
+            )
+            pred = {"type": "IRI", "value": r.pred}
+            if r.obj_kind == "literal":
+                obj = {"type": "literal", "value": r.obj_value,
+                       "datatype": r.obj_datatype}
+                if isinstance(r.obj_language, str):
+                    obj["language"] = r.obj_language
+            else:
+                obj = {"type": r.obj_kind, "value": r.obj_value}
+            quads.append((subj, pred, obj, r.graph))
+        mapping = URDNA2015().main(quads)
+        for old, new in mapping.items():
+            out.append((doc_id, old, new))
+        return pd.DataFrame(out, columns=["doc_id", "bnode", "label"])
+
+    # applyInPandas guarantees each UDF call sees one whole document
+    hard = hard_triples.groupBy("doc_id").applyInPandas(exact, _LABEL_SCHEMA)
+    return easy.unionByName(hard)
+
+
+def canonicalize_triples(triples: DataFrame) -> DataFrame:
+    """Relabel every blank node in the triples table with its canonical
+    per-document label (prefixed with the doc namespace for corpus-global
+    uniqueness). Three hash-partitioned joins on (doc_id, bnode)."""
+    labels = canonical_labels(triples).withColumn(
+        "global_label",
+        F.concat(F.lit("_:d"), F.substring(F.sha2(F.col("doc_id"), 256), 1, 16),
+                 F.lit("_"), F.substring(F.col("label"), 3, 1000)),
+    )
+
+    t = triples
+    for col, kind_pred in (
+        ("subj", F.col("subj").startswith("_:")),
+        ("obj_value", F.col("obj_kind") == "blank node"),
+        ("graph", F.col("graph").startswith("_:")),
+    ):
+        lab = labels.select(
+            F.col("doc_id").alias("_ldoc"), F.col("bnode").alias("_lb"),
+            F.col("global_label").alias("_lnew"),
+        )
+        t = (
+            t.join(
+                lab,
+                (F.col("doc_id") == F.col("_ldoc")) & (F.col(col) == F.col("_lb")),
+                "left",
+            )
+            .withColumn(col, F.when(kind_pred & F.col("_lnew").isNotNull(), F.col("_lnew")).otherwise(F.col(col)))
+            .drop("_ldoc", "_lb", "_lnew")
+        )
+    return t

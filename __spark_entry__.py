@@ -30,6 +30,12 @@ from pyld_spark.operators.expand_stage import (  # noqa: E402
     docs_to_triples,
     split_quarantine,
 )
+from pyld_spark.operators.linking import (  # noqa: E402
+    entity_mention_counts,
+    extract_mentions,
+    link_entities,
+    mention_triples,
+)
 from pyld_spark.operators.triples import turn_literal_triples  # noqa: E402
 from pyld_spark.session import ensure_workers_can_import  # noqa: E402
 
@@ -94,6 +100,24 @@ def _q_canonical_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return link_entities(extract_mentions(t))
+
+
+def _q_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return mention_triples(link_entities(extract_mentions(t)))
+
+
+def _q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return entity_mention_counts(link_entities(extract_mentions(t)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_from_events": _q_transcripts,
@@ -101,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_literal_triples": _q_turn_triples,
         "pipeline_triples": _q_pipeline_triples,
         "canonical_nquads": _q_canonical_nquads,
+        "linked_mentions": _q_linked_mentions,
+        "mention_triples": _q_mention_triples,
+        "entity_mention_counts": _q_entity_counts,
     }
 
 
@@ -163,7 +190,41 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT conv_id, turn_iri, '{_VOCAB}ts', 'literal', ts_str,
                '{_XSD}dateTime', CAST(NULL AS STRING), '@default' FROM base"""
+    mentions_cte = f"""m AS (
+          SELECT conv_id, turn_idx, 'handle' AS mention_kind,
+                 unnest(regexp_extract_all(text, '@[A-Za-z0-9_]+')) AS mention
+          FROM transcripts
+          UNION ALL
+          SELECT conv_id, turn_idx, 'url',
+                 unnest(regexp_extract_all(text, 'https?://[^\\s]+'))
+          FROM transcripts
+          UNION ALL
+          SELECT conv_id, turn_idx, 'tool', tool FROM transcripts
+          WHERE tool IS NOT NULL
+        ),
+        linked AS (
+          SELECT conv_id, turn_idx, mention_kind, mention,
+                 concat('{_VOCAB}entity/', md5(lower(mention))) AS entity_iri,
+                 round(1.0 - 1.0 / (2.0 + length(lower(mention))), 4) AS score
+          FROM m
+        )"""
     return {
+        "linked_mentions": f"""{_T_CTE}, {mentions_cte}
+            SELECT * FROM linked""",
+        "mention_triples": f"""{_T_CTE}, {mentions_cte}
+            SELECT {turn_subj} AS subj, '{_VOCAB}mentions' AS pred,
+                   'IRI' AS obj_kind, entity_iri AS obj_value,
+                   CAST(NULL AS STRING) AS obj_datatype,
+                   CAST(NULL AS STRING) AS obj_language
+            FROM linked
+            UNION ALL
+            SELECT DISTINCT entity_iri, '{_VOCAB}label', 'literal',
+                   lower(mention), '{_XSD}string', CAST(NULL AS STRING)
+            FROM linked""",
+        "entity_mention_counts": f"""{_T_CTE}, {mentions_cte}
+            SELECT entity_iri, CAST(count(*) AS BIGINT) AS n_mentions,
+                   min(mention_kind) AS mention_kind
+            FROM linked GROUP BY entity_iri""",
         "pipeline_triples": pipeline_oracle,
         "transcripts_from_events": (
             f"{_T_CTE} SELECT conv_id, turn_idx, role, text, tool FROM transcripts"

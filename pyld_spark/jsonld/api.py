@@ -1,0 +1,235 @@
+"""Public JSON-LD API surface, mirroring the reference processor's module
+functions (/root/reference/lib/pyld/jsonld.py:177-301): expand, compact,
+flatten, to_rdf, from_rdf, normalize (+ RDF parser registry).
+
+These are driver-side/per-document entry points; the distributed versions of
+the same stages live in pyld_spark.operators.
+"""
+
+from __future__ import annotations
+
+from pyld_spark.jsonld.canon import canonize_quads
+from pyld_spark.jsonld.compact import compact as _compact_alg
+from pyld_spark.jsonld.compact import compact_iri
+from pyld_spark.jsonld.context import (
+    Context,
+    DocumentLoader,
+    initial_context,
+    process_context,
+)
+from pyld_spark.jsonld.errors import JsonLdError
+from pyld_spark.jsonld.expand import expand as _expand_alg
+from pyld_spark.jsonld.fromrdf import from_rdf as _from_rdf_alg
+from pyld_spark.jsonld.nodemap import flatten as _flatten_alg
+from pyld_spark.jsonld.nquads import parse_nquads, serialize_quads
+from pyld_spark.jsonld.rdf import to_rdf as _to_rdf_alg
+
+_rdf_parsers: dict = {"application/n-quads": parse_nquads,
+                      "application/nquads": parse_nquads}
+
+
+def register_rdf_parser(content_type: str, parser) -> None:
+    """Pluggable input-parser registry (reference jsonld.py:410-432)."""
+    _rdf_parsers[content_type] = parser
+
+
+def unregister_rdf_parser(content_type: str) -> None:
+    _rdf_parsers.pop(content_type, None)
+
+
+def _options(options: dict | None) -> dict:
+    o = dict(options or {})
+    o.setdefault("base", None)
+    o.setdefault("processingMode", "json-ld-1.1")
+    o.setdefault("documentLoader", None)
+    return o
+
+
+def _make_context(options: dict) -> Context:
+    return initial_context(
+        base=options.get("base"), processing_mode=options["processingMode"]
+    )
+
+
+def _loader(options: dict) -> DocumentLoader | None:
+    dl = options.get("documentLoader")
+    if dl is None or isinstance(dl, DocumentLoader):
+        return dl
+    if isinstance(dl, dict):
+        return DocumentLoader(dl)
+    raise JsonLdError("invalid documentLoader", "invalid option")
+
+
+def expand(document, options: dict | None = None) -> list:
+    o = _options(options)
+    ctx = _make_context(o)
+    loader = _loader(o)
+    if o.get("expandContext") is not None:
+        ec = o["expandContext"]
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        ctx = process_context(ctx, ec, o.get("base"), loader=loader)
+    doc = document
+    local_ctx = None
+    if isinstance(doc, dict) and "@context" in doc:
+        local_ctx = doc["@context"]
+    if local_ctx is not None:
+        ctx = process_context(ctx, local_ctx, o.get("base"), loader=loader)
+        doc = {k: v for k, v in doc.items() if k != "@context"}
+    return _expand_alg(
+        doc, context=ctx, base_url=o.get("base"), loader=loader,
+        frame_expansion=o.get("isFrame", False),
+        keep_free_floating=o.get("keepFreeFloatingNodes", False),
+        on_dropped=o.get("onPropertyDropped"),
+    )
+
+
+def compact(document, ctx, options: dict | None = None) -> dict:
+    o = _options(options)
+    loader = _loader(o)
+    expanded = document if o.get("skipExpansion") else expand(document, o)
+    ctx_value = ctx.get("@context") if isinstance(ctx, dict) and "@context" in ctx else ctx
+    active = process_context(_make_context(o), ctx_value, o.get("base"), loader=loader)
+    compacted = _compact_alg(
+        active, None, expanded,
+        compact_arrays=o.get("compactArrays", True),
+        ordered=True, base_url=o.get("base"), loader=loader,
+    )
+    if isinstance(compacted, list):
+        if not compacted:
+            compacted = {}
+        else:
+            kw_graph = compact_iri(active, "@graph", vocab=True)
+            compacted = {kw_graph: compacted}
+    if ctx_value and compacted:
+        compacted = {"@context": ctx_value, **compacted}
+    return compacted
+
+
+def flatten(document, ctx=None, options: dict | None = None):
+    o = _options(options)
+    expanded = expand(document, o)
+    flattened = _flatten_alg(expanded)
+    if ctx is None:
+        return flattened
+    return compact(flattened, ctx, {**o, "skipExpansion": True})
+
+
+def to_rdf(document, options: dict | None = None):
+    o = _options(options)
+    expanded = expand(document, o)
+    quads = _to_rdf_alg(
+        expanded,
+        produce_generalized_rdf=o.get("produceGeneralizedRdf", False),
+        rdf_direction=o.get("rdfDirection"),
+    )
+    if o.get("format") in ("application/n-quads", "application/nquads"):
+        return serialize_quads(quads)
+    return quads
+
+
+def from_rdf(dataset, options: dict | None = None) -> list:
+    o = _options(options)
+    if isinstance(dataset, str):
+        fmt = o.get("format", "application/n-quads")
+        if fmt not in _rdf_parsers:
+            raise JsonLdError(f"unknown input format {fmt}", "unknown format")
+        dataset = _rdf_parsers[fmt](dataset)
+    return _from_rdf_alg(
+        dataset,
+        use_native_types=o.get("useNativeTypes", False),
+        use_rdf_type=o.get("useRdfType", False),
+        rdf_direction=o.get("rdfDirection"),
+        processing_mode=o["processingMode"],
+    )
+
+
+def frame(document, frame_doc, options: dict | None = None):
+    """Frame API (reference jsonld.py:222-232, 727-870)."""
+    from pyld_spark.jsonld.frame import frame_expanded
+
+    o = _options(options)
+    expanded = expand(document, o)
+    frame_ctx = (
+        frame_doc.get("@context") if isinstance(frame_doc, dict) else None
+    )
+    expanded_frame = expand(
+        frame_doc, {**o, "isFrame": True, "keepFreeFloatingNodes": True}
+    )
+    framing_opts = {
+        "embed": o.get("embed", "@once"),
+        "explicit": o.get("explicit", False),
+        "requireAll": o.get("requireAll", False),
+        "omitDefault": o.get("omitDefault", False),
+        "pruneBlankNodeIdentifiers": o.get(
+            "pruneBlankNodeIdentifiers", o["processingMode"] != "json-ld-1.0"
+        ),
+    }
+    framed = frame_expanded(expanded, expanded_frame, framing_opts)
+    compacted = compact(
+        framed, frame_ctx if frame_ctx is not None else {},
+        {**o, "skipExpansion": True},
+    )
+    omit_graph = o.get("omitGraph", o["processingMode"] != "json-ld-1.0")
+    graph_key = None
+    for k, v in (compacted.items() if isinstance(compacted, dict) else []):
+        if k != "@context" and isinstance(v, list):
+            graph_key = k
+            break
+    compacted = _cleanup_null(compacted)
+    if compacted is None:
+        compacted = {}
+    if not omit_graph and isinstance(compacted, dict) and "@graph" not in compacted:
+        inner = {k: v for k, v in compacted.items() if k != "@context"}
+        wrapped = {"@graph": [inner] if inner else []}
+        if "@context" in compacted:
+            wrapped = {"@context": compacted["@context"], **wrapped}
+        compacted = wrapped
+    return compacted
+
+
+def _cleanup_null(value):
+    """Map framing '@null' markers to JSON null / drop empties."""
+    if isinstance(value, list):
+        out = [_cleanup_null(v) for v in value]
+        return [v for v in out if v is not None]
+    if isinstance(value, dict):
+        out = {}
+        for k, v in value.items():
+            if v == "@null":
+                out[k] = None  # explicit null survives with its key
+                continue
+            if v is None and k != "@value":
+                continue
+            cleaned = _cleanup_null(v)
+            if cleaned is None and k != "@value":
+                continue
+            out[k] = cleaned
+        return out
+    if value == "@null":
+        return None
+    return value
+
+
+def link(document, ctx, options: dict | None = None):
+    """Link API: frame with a wildcard @link embed (reference
+    jsonld.py:235-262)."""
+    frame_doc: dict = {"@embed": "@link"}
+    if ctx:
+        frame_doc["@context"] = ctx
+    return frame(document, frame_doc, options)
+
+
+def normalize(document, options: dict | None = None):
+    o = _options(options)
+    algorithm = o.get("algorithm", "URGNA2012")
+    if algorithm not in ("URDNA2015", "URGNA2012"):
+        raise JsonLdError(f"unknown algorithm {algorithm}", "invalid option")
+    if o.get("inputFormat") in ("application/n-quads", "application/nquads"):
+        quads = parse_nquads(document)
+    else:
+        quads = to_rdf(document, {**o, "format": None, "produceGeneralizedRdf": False})
+    result = canonize_quads(quads, algorithm)
+    if o.get("format") in ("application/n-quads", "application/nquads"):
+        return result
+    return parse_nquads(result)

@@ -1,0 +1,706 @@
+"""JSON-LD 1.1 Compaction (W3C JSON-LD 1.1 API §4.3-4.5, §6).
+
+Behavioral parity: _compact/_compact_iri/_select_term/_compact_value and
+_get_inverse_context (/root/reference/lib/pyld/jsonld.py:1414-1982,
+5073-5498, 6138-6228).
+
+Spark role (SURVEY.md §2.7): per-document pandas UDF; the inverse context is
+built once per processed context (cached on the Context object) and shipped
+broadcast-style inside the UDF closure.
+"""
+
+from __future__ import annotations
+
+from pyld_spark.jsonld.context import (
+    Context,
+    UNSET,
+    arrayify,
+    is_keyword,
+    process_context,
+)
+from pyld_spark.jsonld.errors import JsonLdError
+from pyld_spark.jsonld.expand import (
+    is_graph_object,
+    is_list_object,
+    is_value_object,
+)
+from pyld_spark.jsonld.iri import relativize_iri
+
+
+def _sort_key(term: str):
+    return (len(term), term)
+
+
+def inverse_context(active: Context) -> dict:
+    """Inverse Context Creation (§4.3.2), cached per Context instance."""
+    if active._inverse is not None:
+        return active._inverse
+    inverse: dict = {}
+    default_language = (active.default_language or "@none").lower()
+    for term in sorted(active.terms, key=_sort_key):
+        defn = active.terms[term]
+        if defn is None or defn.iri is None:
+            continue
+        container = "".join(sorted(defn.container)) or "@none"
+        entry = inverse.setdefault(defn.iri, {})
+        tl_map = entry.setdefault(
+            container, {"@language": {}, "@type": {}, "@any": {}}
+        )
+        tl_map["@any"].setdefault("@none", term)
+        if defn.reverse:
+            tl_map["@type"].setdefault("@reverse", term)
+        elif defn.type == "@none":
+            tl_map["@type"].setdefault("@any", term)
+            tl_map["@language"].setdefault("@any", term)
+            tl_map["@any"].setdefault("@none", term)
+        elif defn.type is not None:
+            tl_map["@type"].setdefault(defn.type, term)
+        elif defn.language is not UNSET and defn.direction is not UNSET:
+            lang = defn.language
+            direction = defn.direction
+            if lang and direction:
+                key = f"{lang}_{direction}".lower()
+            elif lang:
+                key = lang.lower()
+            elif direction:
+                key = f"_{direction}"
+            else:
+                key = "@null"
+            tl_map["@language"].setdefault(key, term)
+        elif defn.language is not UNSET:
+            key = defn.language.lower() if defn.language else "@null"
+            tl_map["@language"].setdefault(key, term)
+        elif defn.direction is not UNSET:
+            key = f"_{defn.direction}" if defn.direction else "@none"
+            tl_map["@language"].setdefault(key, term)
+        elif active.default_direction:
+            tl_map["@language"].setdefault(
+                f"{default_language}_{active.default_direction}".lstrip(), term
+            )
+            tl_map["@language"].setdefault("@none", term)
+            tl_map["@type"].setdefault("@none", term)
+        else:
+            tl_map["@language"].setdefault(default_language, term)
+            tl_map["@language"].setdefault("@none", term)
+            tl_map["@type"].setdefault("@none", term)
+    active._inverse = inverse
+    return inverse
+
+
+def select_term(
+    active: Context, iri: str, containers: list, type_language: str,
+    preferred_values: list,
+) -> str | None:
+    inv = inverse_context(active)
+    container_map = inv.get(iri, {})
+    for container in containers:
+        if container not in container_map:
+            continue
+        tl_map = container_map[container][type_language]
+        for item in preferred_values:
+            if item in tl_map:
+                return tl_map[item]
+    return None
+
+
+def compact_iri(
+    active: Context,
+    iri: str | None,
+    value=None,
+    vocab: bool = False,
+    reverse: bool = False,
+    base_url: str | None = None,
+) -> str | None:
+    """IRI Compaction (§4.4.2)."""
+    if iri is None:
+        return None
+    inv = inverse_context(active)
+    if vocab and iri in inv:
+        default_language = "@none"
+        if active.default_direction:
+            default_language = (
+                f"{active.default_language or ''}_{active.default_direction}".lower()
+            )
+        elif active.default_language:
+            default_language = active.default_language.lower()
+
+        containers: list = []
+        type_language = "@language"
+        type_language_value = "@null"
+
+        if isinstance(value, dict) and "@index" in value and not is_graph_object(value):
+            containers += ["@index", "@index@set"]
+        if reverse:
+            type_language = "@type"
+            type_language_value = "@reverse"
+            containers.append("@set")
+        elif is_list_object(value):
+            if "@index" not in value:
+                containers.append("@list")
+            lst = value["@list"]
+            common_type = None
+            common_language = default_language if not lst else None
+            for item in lst:
+                item_language, item_type = "@none", "@none"
+                if is_value_object(item):
+                    if "@direction" in item:
+                        item_language = (
+                            f"{item.get('@language', '')}_{item['@direction']}".lower()
+                        )
+                    elif "@language" in item:
+                        item_language = item["@language"].lower()
+                    elif "@type" in item:
+                        item_type = item["@type"]
+                    else:
+                        item_language = "@null"
+                else:
+                    item_type = "@id"
+                if common_language is None:
+                    common_language = item_language
+                elif common_language != item_language and is_value_object(item):
+                    common_language = "@none"
+                if common_type is None:
+                    common_type = item_type
+                elif common_type != item_type:
+                    common_type = "@none"
+                if common_language == "@none" and common_type == "@none":
+                    break
+            common_language = common_language or "@none"
+            common_type = common_type or "@none"
+            if common_type != "@none":
+                type_language = "@type"
+                type_language_value = common_type
+            else:
+                type_language_value = common_language
+        elif is_graph_object(value):
+            if "@index" in value:
+                containers += ["@graph@index", "@graph@index@set"]
+            if "@id" in value:
+                containers += ["@graph@id", "@graph@id@set"]
+            containers += ["@graph", "@graph@set", "@set"]
+            if "@index" not in value:
+                containers += ["@graph@index", "@graph@index@set"]
+            if "@id" not in value:
+                containers += ["@graph@id", "@graph@id@set"]
+            containers += ["@index", "@index@set"]
+            type_language = "@type"
+            type_language_value = "@id"
+        else:
+            if is_value_object(value):
+                if "@direction" in value and "@index" not in value:
+                    type_language_value = (
+                        f"{value.get('@language', '')}_{value['@direction']}".lower()
+                    )
+                    containers += ["@language", "@language@set"]
+                elif "@language" in value and "@index" not in value:
+                    type_language_value = value["@language"].lower()
+                    containers += ["@language", "@language@set"]
+                elif "@type" in value:
+                    type_language = "@type"
+                    type_language_value = value["@type"]
+            else:
+                type_language = "@type"
+                type_language_value = "@id"
+                containers += ["@id", "@id@set", "@type", "@set@type"]
+            containers.append("@set")
+
+        containers.append("@none")
+        if active.processing_mode != "json-ld-1.0":
+            if not isinstance(value, dict) or "@index" not in value:
+                containers += ["@index", "@index@set"]
+            if is_value_object(value) and set(value) == {"@value"}:
+                containers += ["@language", "@language@set"]
+
+        preferred_values = []
+        if type_language_value == "@reverse":
+            preferred_values.append("@reverse")
+        if type_language_value in ("@id", "@reverse") and isinstance(value, dict) and "@id" in value:
+            candidate = compact_iri(active, value["@id"], vocab=True)
+            cdef = active.terms.get(candidate)
+            if cdef is not None and cdef.iri == value["@id"]:
+                preferred_values += ["@vocab", "@id"]
+            else:
+                preferred_values += ["@id", "@vocab"]
+        else:
+            preferred_values.append(type_language_value)
+            if is_list_object(value) and value.get("@list") == []:
+                type_language = "@any"
+        preferred_values.append("@none")
+        if active.processing_mode != "json-ld-1.0":
+            if "_" in str(type_language_value):
+                preferred_values.append(
+                    "_" + str(type_language_value).rpartition("_")[2]
+                )
+        term = select_term(active, iri, containers, type_language, preferred_values)
+        if term is not None:
+            return term
+
+    if vocab and active.vocab is not None:
+        if iri.startswith(active.vocab) and len(iri) > len(active.vocab):
+            suffix = iri[len(active.vocab):]
+            if suffix not in active.terms:
+                return suffix
+
+    # shortest CURIE
+    candidate = None
+    for term, defn in active.terms.items():
+        if ":" in term:
+            continue
+        if (
+            defn is None or defn.iri is None or defn.iri == iri
+            or not iri.startswith(defn.iri) or not defn.prefix
+        ):
+            continue
+        curie = term + ":" + iri[len(defn.iri):]
+        is_usable = curie not in active.terms or (
+            value is None and active.terms[curie].iri == iri
+        )
+        if is_usable and (
+            candidate is None or _sort_key(curie) < _sort_key(candidate)
+        ):
+            candidate = curie
+    if candidate is not None:
+        return candidate
+
+    # "IRI confused with prefix" guard
+    for term, defn in active.terms.items():
+        if defn is not None and defn.prefix and iri.startswith(term + ":"):
+            raise JsonLdError(
+                f"IRI {iri} confused with prefix {term}", "IRI confused with prefix"
+            )
+
+    if not vocab:
+        if active.base is not None:
+            return relativize_iri(active.base, iri)
+    return iri
+
+
+def compact_value(active: Context, active_property: str | None, value: dict):
+    """Value Compaction (§4.5.2)."""
+    defn = active.terms.get(active_property)
+    language = (
+        defn.language if defn is not None and defn.language is not UNSET
+        else active.default_language
+    )
+    direction = (
+        defn.direction if defn is not None and defn.direction is not UNSET
+        else active.default_direction
+    )
+    if defn is not None and defn.type == "@json":
+        return value["@value"]
+
+    indexed = "@index" in value and defn is not None and "@index" in defn.container
+    keys = set(value) - ({"@index"} if indexed else set())
+
+    if "@id" in value:
+        if keys == {"@id"} and defn is not None and defn.type == "@id":
+            return compact_iri(active, value["@id"])
+        if keys == {"@id"} and defn is not None and defn.type == "@vocab":
+            return compact_iri(active, value["@id"], vocab=True)
+        return _compact_value_keys(active, value)
+
+    v = value["@value"]
+    if (
+        keys <= {"@value", "@type"}
+        and "@type" in value
+        and defn is not None
+        and value["@type"] == defn.type
+    ):
+        return v
+    if isinstance(v, str):
+        eff_lang = language.lower() if isinstance(language, str) else None
+        eff_dir = direction if direction else None
+        val_lang = value["@language"].lower() if "@language" in value else None
+        val_dir = value.get("@direction")
+        if (
+            keys <= {"@value", "@language", "@direction"}
+            and val_lang == eff_lang
+            and val_dir == eff_dir
+        ):
+            return v
+    elif keys == {"@value"}:
+        return v
+    return _compact_value_keys(active, value)
+
+
+def _compact_value_keys(active: Context, value: dict) -> dict:
+    out = {}
+    for k, v in value.items():
+        key = compact_iri(active, k, vocab=True)
+        if k == "@type":
+            v = compact_iri(active, v, vocab=True) if isinstance(v, str) else [
+                compact_iri(active, t, vocab=True) for t in v
+            ]
+        elif k == "@id":
+            v = compact_iri(active, v)
+        out[key] = v
+    return out
+
+
+def compact(
+    active: Context,
+    active_property: str | None,
+    element,
+    compact_arrays: bool = True,
+    ordered: bool = True,
+    base_url: str | None = None,
+    loader=None,
+):
+    """Compaction Algorithm (§6.1.2)."""
+    if isinstance(element, list):
+        result = []
+        for item in element:
+            compacted = compact(
+                active, active_property, item, compact_arrays, ordered, base_url, loader
+            )
+            if compacted is not None:
+                result.append(compacted)
+        defn = active.terms.get(active_property)
+        container = defn.container if defn is not None else frozenset()
+        if (
+            len(result) == 1
+            and compact_arrays
+            and active_property not in ("@graph", "@set")
+            and "@list" not in container
+            and "@set" not in container
+        ):
+            return result[0]
+        return result
+
+    if not isinstance(element, dict):
+        return element
+
+    defn = active.terms.get(active_property)
+    # revert term-scoped context for new node objects
+    if active.previous is not None and "@value" not in element and set(element) != {"@id"}:
+        active = active.previous
+    # property-scoped context
+    if defn is not None and defn.context is not UNSET:
+        active = process_context(
+            active, defn.context, defn.context_base,
+            loader=loader, override_protected=True,
+        )
+
+    if "@value" in element or set(element) == {"@id"}:
+        # value objects (and bare references) never proceed to node-object
+        # processing — compact_value's result is final (it may legitimately
+        # be a dict for @json values or uncompactable value objects)
+        return compact_value(active, active_property, element)
+
+    if is_list_object(element):
+        # reached for lists nested inside lists (the property loop unwraps
+        # top-level list objects itself)
+        inner = compact(
+            active, active_property, element["@list"], compact_arrays, ordered,
+            base_url, loader,
+        )
+        if not isinstance(inner, list):
+            inner = [inner]
+        container = defn.container if defn is not None else frozenset()
+        if "@list" in container:
+            return inner
+        wrapped = {compact_iri(active, "@list", vocab=True): inner}
+        if "@index" in element:
+            wrapped[compact_iri(active, "@index", vocab=True)] = element["@index"]
+        return wrapped
+
+    inside_reverse = active_property == "@reverse"
+    result: dict = {}
+
+    if "@type" in element:
+        # apply type-scoped contexts in sorted compacted-term order
+        compacted_types = sorted(
+            compact_iri(active, t, vocab=True) for t in arrayify(element["@type"])
+        )
+        for cterm in compacted_types:
+            tdef = active.terms.get(cterm)
+            if tdef is not None and tdef.context is not UNSET:
+                active = process_context(
+                    active, tdef.context, tdef.context_base,
+                    loader=loader, propagate=False,
+                )
+
+    keys = sorted(element) if ordered else list(element)
+    for expanded_property in keys:
+        expanded_value = element[expanded_property]
+
+        if expanded_property == "@id":
+            value = element["@id"]
+            compacted = (
+                compact_iri(active, value)
+                if isinstance(value, str)
+                else [compact_iri(active, v) for v in value]
+            )
+            alias = compact_iri(active, "@id", vocab=True)
+            result[alias] = compacted
+            continue
+
+        if expanded_property == "@type":
+            types = [
+                compact_iri(active, t, vocab=True) for t in arrayify(expanded_value)
+            ]
+            alias = compact_iri(active, "@type", vocab=True)
+            type_def = active.terms.get(alias)
+            as_array = not compact_arrays or (
+                active.processing_mode != "json-ld-1.0"
+                and type_def is not None
+                and "@set" in type_def.container
+            )
+            result[alias] = types if (len(types) > 1 or as_array) else types[0]
+            continue
+
+        if expanded_property == "@reverse":
+            compacted = compact(
+                active, "@reverse", expanded_value, compact_arrays, ordered,
+                base_url, loader,
+            )
+            for prop in list(compacted):
+                pdef = active.terms.get(prop)
+                if pdef is not None and pdef.reverse:
+                    value = compacted.pop(prop)
+                    as_array = not compact_arrays or "@set" in pdef.container
+                    _add_compacted(result, prop, value, as_array)
+            if compacted:
+                alias = compact_iri(active, "@reverse", vocab=True)
+                result[alias] = compacted
+            continue
+
+        if expanded_property == "@preserve":
+            compacted = compact(
+                active, active_property, expanded_value, compact_arrays, ordered,
+                base_url, loader,
+            )
+            if compacted != []:
+                result["@preserve"] = compacted
+            continue
+
+        if expanded_property == "@index":
+            if defn is not None and "@index" in defn.container:
+                continue
+            alias = compact_iri(active, "@index", vocab=True)
+            result[alias] = expanded_value
+            continue
+
+        if expanded_property in ("@direction", "@language", "@value"):
+            alias = compact_iri(active, expanded_property, vocab=True)
+            result[alias] = expanded_value
+            continue
+
+        if expanded_property == "@included":
+            compacted = compact(
+                active, "@included", expanded_value, compact_arrays, ordered,
+                base_url, loader,
+            )
+            alias = compact_iri(active, "@included", vocab=True)
+            result[alias] = compacted
+            continue
+
+        if expanded_property == "@graph":
+            compacted = compact(
+                active, "@graph", expanded_value, compact_arrays, ordered,
+                base_url, loader,
+            )
+            alias = compact_iri(active, "@graph", vocab=True)
+            result[alias] = compacted
+            continue
+
+        if is_keyword(expanded_property):
+            result[expanded_property] = compact(
+                active, expanded_property, expanded_value, compact_arrays, ordered,
+                base_url, loader,
+            )
+            continue
+
+        # regular property
+        if not expanded_value:
+            item_active_property = compact_iri(
+                active, expanded_property, value=expanded_value,
+                vocab=True, reverse=inside_reverse,
+            )
+            nest_result, container = _nest_target(
+                active, result, item_active_property
+            )
+            _add_compacted(nest_result, item_active_property, [], True)
+            continue
+
+        for expanded_item in expanded_value:
+            item_active_property = compact_iri(
+                active, expanded_property, value=expanded_item,
+                vocab=True, reverse=inside_reverse,
+            )
+            nest_result, container = _nest_target(active, result, item_active_property)
+            idef = active.terms.get(item_active_property)
+            as_array = not compact_arrays or "@set" in container
+
+            inner = expanded_item
+            if is_list_object(expanded_item):
+                inner = expanded_item["@list"]
+            elif is_graph_object(expanded_item):
+                inner = expanded_item["@graph"]
+
+            compacted_item = compact(
+                active, item_active_property,
+                inner if (is_list_object(expanded_item) or is_graph_object(expanded_item))
+                else expanded_item,
+                compact_arrays, ordered, base_url, loader,
+            )
+
+            if is_list_object(expanded_item):
+                if not isinstance(compacted_item, list):
+                    compacted_item = [compacted_item]
+                if "@list" not in container:
+                    alias = compact_iri(active, "@list", vocab=True)
+                    wrapped = {alias: compacted_item}
+                    if "@index" in expanded_item:
+                        idx_alias = compact_iri(active, "@index", vocab=True)
+                        wrapped[idx_alias] = expanded_item["@index"]
+                    compacted_item = wrapped
+                    _add_compacted(nest_result, item_active_property, compacted_item, as_array)
+                else:
+                    nest_result[item_active_property] = compacted_item
+                continue
+
+            if is_graph_object(expanded_item):
+                compacted_item = _compact_graph_item(
+                    active, nest_result, item_active_property, expanded_item,
+                    compacted_item, container, compact_arrays, as_array,
+                )
+                continue
+
+            if container & {"@language", "@index", "@id", "@type"} and "@graph" not in container:
+                map_object = nest_result.setdefault(item_active_property, {})
+                if "@language" in container:
+                    key = expanded_item.get("@language", "@none")
+                    if is_value_object(expanded_item):
+                        compacted_item = expanded_item["@value"] if "@language" in expanded_item or set(expanded_item) <= {"@value", "@language"} else compacted_item
+                elif "@index" in container:
+                    index_key = idef.index if idef is not None and idef.index else "@index"
+                    if index_key == "@index":
+                        key = expanded_item.get("@index", "@none")
+                        if isinstance(compacted_item, dict):
+                            idx_alias = compact_iri(active, "@index", vocab=True)
+                            compacted_item.pop(idx_alias, None)
+                            if len(compacted_item) == 1 and compact_arrays:
+                                only = next(iter(compacted_item))
+                                odef = active.terms.get(only)
+                                if odef is not None:
+                                    compacted_item = compacted_item[only]
+                    else:
+                        prop_iri = active.terms[index_key].iri if index_key in active.terms else index_key
+                        key = "@none"
+                        if isinstance(compacted_item, dict) and index_key in compacted_item:
+                            kv = arrayify(compacted_item[index_key])
+                            if kv and isinstance(kv[0], str):
+                                key = kv[0]
+                                rest = kv[1:]
+                                if rest:
+                                    compacted_item[index_key] = rest[0] if len(rest) == 1 and compact_arrays else rest
+                                else:
+                                    compacted_item.pop(index_key)
+                elif "@id" in container:
+                    id_alias = compact_iri(active, "@id", vocab=True)
+                    key = "@none"
+                    if isinstance(compacted_item, dict) and id_alias in compacted_item:
+                        key = compacted_item.pop(id_alias)
+                    if isinstance(compacted_item, dict) and not compacted_item:
+                        compacted_item = {}
+                else:  # @type container
+                    type_alias = compact_iri(active, "@type", vocab=True)
+                    key = "@none"
+                    if isinstance(compacted_item, dict) and type_alias in compacted_item:
+                        types = arrayify(compacted_item[type_alias])
+                        if types:
+                            key = types[0]
+                            rest = types[1:]
+                            if rest:
+                                compacted_item[type_alias] = (
+                                    rest[0] if len(rest) == 1 and compact_arrays else rest
+                                )
+                            else:
+                                compacted_item.pop(type_alias)
+                    if (
+                        isinstance(compacted_item, dict)
+                        and len(compacted_item) == 1
+                        and "@id" in expanded_item
+                    ):
+                        recompacted = compact(
+                            active, item_active_property, {"@id": expanded_item["@id"]},
+                            compact_arrays, ordered, base_url, loader,
+                        )
+                        compacted_item = recompacted
+                if key is None:
+                    key = "@none"
+                _add_compacted(map_object, key, compacted_item, as_array)
+                continue
+
+            _add_compacted(nest_result, item_active_property, compacted_item, as_array)
+
+    return result
+
+
+def _compact_graph_item(
+    active, nest_result, item_active_property, expanded_item, compacted_item,
+    container, compact_arrays, as_array,
+):
+    graph_alias = compact_iri(active, "@graph", vocab=True)
+    if "@graph" in container and "@id" in container:
+        map_object = nest_result.setdefault(item_active_property, {})
+        key = compact_iri(active, expanded_item.get("@id", "@none"),
+                          vocab=expanded_item.get("@id") is None)
+        if "@id" not in expanded_item:
+            key = "@none"
+        _add_compacted(map_object, key, compacted_item, as_array)
+    elif "@graph" in container and "@index" in container and _is_simple_graph(expanded_item):
+        map_object = nest_result.setdefault(item_active_property, {})
+        key = expanded_item.get("@index", "@none")
+        _add_compacted(map_object, key, compacted_item, as_array)
+    elif "@graph" in container and _is_simple_graph(expanded_item):
+        if isinstance(compacted_item, list) and len(compacted_item) > 1:
+            compacted_item = {graph_alias: compacted_item}
+        _add_compacted(nest_result, item_active_property, compacted_item, as_array)
+    else:
+        wrapped = {graph_alias: compacted_item if isinstance(compacted_item, list) else [compacted_item] if not compact_arrays else compacted_item}
+        if "@id" in expanded_item:
+            wrapped[compact_iri(active, "@id", vocab=True)] = compact_iri(
+                active, expanded_item["@id"]
+            )
+        if "@index" in expanded_item:
+            wrapped[compact_iri(active, "@index", vocab=True)] = expanded_item["@index"]
+        _add_compacted(nest_result, item_active_property, wrapped, as_array)
+    return compacted_item
+
+
+def _is_simple_graph(v) -> bool:
+    return is_graph_object(v) and "@id" not in v
+
+
+def _nest_target(active: Context, result: dict, item_active_property: str):
+    defn = active.terms.get(item_active_property)
+    container = defn.container if defn is not None else frozenset()
+    if defn is not None and defn.nest is not None:
+        nest_term = defn.nest
+        if nest_term != "@nest":
+            ndef = active.terms.get(nest_term)
+            if ndef is None or ndef.iri != "@nest":
+                raise JsonLdError(
+                    "@nest term must expand to @nest", "invalid @nest value"
+                )
+        nest_result = result.setdefault(nest_term, {})
+        return nest_result, container
+    return result, container
+
+
+def _add_compacted(target: dict, key: str, value, as_array: bool) -> None:
+    if key in target:
+        existing = target[key]
+        if not isinstance(existing, list):
+            existing = [existing]
+            target[key] = existing
+        if isinstance(value, list):
+            existing.extend(value)
+        else:
+            existing.append(value)
+    else:
+        if as_array and not isinstance(value, list):
+            value = [value]
+        target[key] = value

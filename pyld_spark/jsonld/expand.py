@@ -200,7 +200,10 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
                 return None if not frame else result
             if "@language" in result and not (
                 isinstance(value, str)
-                or (frame and isinstance(value, list) and all(isinstance(x, str) for x in value))
+                or (frame and (
+                    value == {}
+                    or (isinstance(value, list) and all(isinstance(x, str) for x in value))
+                ))
             ):
                 raise JsonLdError(
                     "@language on non-string @value", "invalid language-tagged value"

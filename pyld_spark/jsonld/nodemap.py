@@ -225,13 +225,13 @@ def merge_node_map_graphs(node_map: dict) -> dict:
     """Union all graphs into ``@merged`` (framing support; reference
     jsonld.py:4309-4337)."""
     merged: dict = {}
-    issuer = IdentifierIssuer("_:merged-")
+    # no relabeling: build_node_map used a single issuer, so bnode labels are
+    # already unique across graphs (and references inside values share them)
     for name in sorted(node_map):
         graph = node_map[name]
         for id_ in sorted(graph):
             node = graph[id_]
-            mid = issuer.get_id(id_) if id_.startswith("_:") else id_
-            m = merged.setdefault(mid, {"@id": mid})
+            m = merged.setdefault(id_, {"@id": id_})
             for prop, values in node.items():
                 if prop == "@id":
                     continue

@@ -59,7 +59,9 @@ SELECT
     WHEN 'view' THEN 'user'
     WHEN 'purchase' THEN 'assistant'
     ELSE 'tool' END AS role,
-  concat(event_type, ' value=', CAST(value AS STRING), ' props=', props) AS text,
+  concat(event_type, ' value=', CAST(value AS STRING), ' props=', props,
+         ' @user', CAST(user_id AS STRING),
+         ' https://ex.org/e/', CAST(event_id AS STRING)) AS text,
   CASE WHEN event_type = 'error' THEN 'debugger'
        WHEN event_type = 'purchase' THEN 'checkout'
        ELSE CAST(NULL AS STRING) END AS tool,
@@ -94,6 +96,8 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("event_type"), F.lit(" value="), F.col("value").cast("string"),
             F.lit(" props="), F.col("props"),
+            F.lit(" @user"), F.col("user_id").cast("string"),
+            F.lit(" https://ex.org/e/"), F.col("event_id").cast("string"),
         ).alias("text"),
         F.when(F.col("event_type") == "error", F.lit("debugger"))
         .when(F.col("event_type") == "purchase", F.lit("checkout"))

@@ -1,0 +1,101 @@
+"""Differential tests: fromRDF vs the reference processor."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyld_spark.jsonld.fromrdf import from_rdf
+from pyld_spark.jsonld.nquads import parse_nquads
+
+from tests.ref_oracle import get_reference_jsonld
+from tests.test_expand_vs_reference import equal_unordered
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+FIXTURES = {
+    "simple": '<http://e/a> <http://e/p> "v" .\n<http://e/a> <http://e/q> <http://e/b> .\n',
+    "types": f'<http://e/a> <{RDF}type> <http://e/T> .\n',
+    "typed_literals": (
+        f'<http://e/a> <http://e/i> "42"^^<{XSD}integer> .\n'
+        f'<http://e/a> <http://e/d> "2.5E0"^^<{XSD}double> .\n'
+        f'<http://e/a> <http://e/b> "true"^^<{XSD}boolean> .\n'
+        f'<http://e/a> <http://e/x> "zz"^^<http://e/custom> .\n'
+    ),
+    "lang": '<http://e/a> <http://e/p> "bonjour"@fr .\n',
+    "well_formed_list": (
+        f"<http://e/a> <http://e/p> _:c0 .\n"
+        f'_:c0 <{RDF}first> "x" .\n'
+        f"_:c0 <{RDF}rest> _:c1 .\n"
+        f'_:c1 <{RDF}first> "y" .\n'
+        f"_:c1 <{RDF}rest> <{RDF}nil> .\n"
+    ),
+    "empty_list": f"<http://e/a> <http://e/p> <{RDF}nil> .\n",
+    "malformed_list_shared_cell": (
+        f"<http://e/a> <http://e/p> _:c0 .\n"
+        f"<http://e/b> <http://e/p> _:c0 .\n"
+        f'_:c0 <{RDF}first> "x" .\n'
+        f"_:c0 <{RDF}rest> <{RDF}nil> .\n"
+    ),
+    "malformed_list_two_firsts": (
+        f"<http://e/a> <http://e/p> _:c0 .\n"
+        f'_:c0 <{RDF}first> "x" .\n'
+        f'_:c0 <{RDF}first> "y" .\n'
+        f"_:c0 <{RDF}rest> <{RDF}nil> .\n"
+    ),
+    "list_with_extra_prop": (
+        f"<http://e/a> <http://e/p> _:c0 .\n"
+        f'_:c0 <{RDF}first> "x" .\n'
+        f"_:c0 <{RDF}rest> <{RDF}nil> .\n"
+        f'_:c0 <http://e/extra> "no" .\n'
+    ),
+    "named_graph": (
+        '<http://e/s> <http://e/p> "top" .\n'
+        '<http://e/s> <http://e/p> "in g" <http://e/g> .\n'
+        '_:s <http://e/q> "bn graph" _:gn .\n'
+    ),
+    "bnode_props": (
+        "_:x <http://e/p> _:y .\n"
+        '_:y <http://e/q> "deep" .\n'
+    ),
+    "nested_list": (
+        f"<http://e/a> <http://e/p> _:o0 .\n"
+        f"_:o0 <{RDF}first> _:i0 .\n"
+        f"_:o0 <{RDF}rest> <{RDF}nil> .\n"
+        f'_:i0 <{RDF}first> "inner" .\n'
+        f"_:i0 <{RDF}rest> <{RDF}nil> .\n"
+    ),
+    "nested_empty_list": (
+        f"<http://e/a> <http://e/p> _:o0 .\n"
+        f"_:o0 <{RDF}first> <{RDF}nil> .\n"
+        f"_:o0 <{RDF}rest> <{RDF}nil> .\n"
+    ),
+    "json_literal": (
+        f'<http://e/a> <http://e/p> "{{\\"a\\":1}}"^^<{RDF}JSON> .\n'
+    ),
+}
+
+
+@pytest.mark.parametrize("native", [False, True])
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_fromrdf_matches_reference(name, native):
+    nq = FIXTURES[name]
+    ref = get_reference_jsonld()
+    expected = ref.from_rdf(
+        nq, {"format": "application/n-quads", "useNativeTypes": native}
+    )
+    actual = from_rdf(parse_nquads(nq), use_native_types=native)
+    assert equal_unordered(actual, expected), (
+        f"{name} native={native}:\nmine={actual!r}\nref ={expected!r}"
+    )
+
+
+def test_roundtrip_tordf_fromrdf():
+    """to_rdf(from_rdf(x)) reproduces the same quads for list-shaped data."""
+    from pyld_spark.jsonld.nquads import serialize_quads
+    from pyld_spark.jsonld.rdf import to_rdf
+
+    nq = FIXTURES["well_formed_list"]
+    expanded = from_rdf(parse_nquads(nq))
+    rt = serialize_quads(to_rdf(expanded))
+    assert '"x"' in rt and '"y"' in rt and f"<{RDF}first>" in rt

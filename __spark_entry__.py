@@ -36,6 +36,7 @@ from pyld_spark.operators.linking import (  # noqa: E402
     link_entities,
     mention_triples,
 )
+from pyld_spark.operators.textstats import EN_STOPWORDS  # noqa: E402
 from pyld_spark.operators.triples import turn_literal_triples  # noqa: E402
 from pyld_spark.session import ensure_workers_can_import  # noqa: E402
 
@@ -118,6 +119,109 @@ def _q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_mention_counts(link_entities(extract_mentions(t)))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.2)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.dedup import simhash_near_pairs, simhash_signatures
+
+    return simhash_near_pairs(simhash_signatures(_docs(spark, sf_dir)), max_hamming=16)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.textstats import text_stats
+
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), k=8)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pyld_spark.operators.similarity import quantized_dot_topk
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_dot_topk(embs, queries_df, k=10)
+
+
+def _q_ann_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pyld_spark.operators.similarity import brute_force_topk
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(embs, queries_df, k=10)
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pyld_spark.operators.multimodal import attach_fake_payload
+
+    media = attach_fake_payload(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id", "media_type",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        "width", "height",
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    from pyld_spark.operators.multimodal import (
+        attach_fake_payload,
+        extract_binary_features,
+    )
+
+    return extract_binary_features(attach_fake_payload(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_from_events": _q_transcripts,
@@ -128,6 +232,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_mentions": _q_linked_mentions,
         "mention_triples": _q_mention_triples,
         "entity_mention_counts": _q_entity_counts,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "simhash_near_pairs": _q_simhash_pairs,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_langid,
+        "doc_fingerprint": _q_fingerprint,
+        "ann_topk_quantized": _q_ann_topk,
+        "ann_topk_cosine": _q_ann_brute_cosine,
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
     }
 
 
@@ -208,7 +324,135 @@ def oracle_sql() -> dict[str, str]:
                  round(1.0 - 1.0 / (2.0 + length(lower(mention))), 4) AS score
           FROM m
         )"""
+    shingles5 = (
+        "list_distinct(list_transform(range(1, greatest(length(text)-4,1)+1),"
+        " i -> text[i:i+4]))"
+    )
+    shingles8 = (
+        "list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),"
+        " i -> text[i:i+7]))"
+    )
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+    def lang_hits(lang: str) -> str:
+        from pyld_spark.operators.textstats import LANG_MARKERS
+
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (
+            f"CAST(len(list_filter({toks}, x -> list_contains([{markers}], x)))"
+            f" AS BIGINT)"
+        )
+
+    extras = {
+        "exact_dedup": """
+            WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+            s AS (SELECT content_hash, min(doc_id) AS survivor_id FROM h GROUP BY 1)
+            SELECT h.doc_id, h.content_hash, s.survivor_id,
+                   h.doc_id != s.survivor_id AS is_duplicate
+            FROM h JOIN s USING (content_hash)""",
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (SELECT doc_id AS doc, unnest({shingles5}) AS sh FROM documents),
+            sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS size FROM sh GROUP BY doc),
+            df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+            shf AS (SELECT s.doc, s.sh FROM sh s JOIN df USING (sh) WHERE df <= 1000),
+            inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS inter
+              FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter, sa.size AS size_a, sb.size AS size_b,
+                   round(inter / (sa.size + sb.size - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+            WHERE round(inter / (sa.size + sb.size - inter), 4) >= 0.2""",
+        "text_stats": f"""
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len({toks}) AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+                 + len(regexp_extract_all(text, '[0-9]+'))
+                 + len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT)
+                AS n_bpe_tokens,
+              round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / greatest(length(text), 1), 4) AS punct_ratio,
+              round(len(list_filter({toks}, x -> list_contains(
+                    {list(EN_STOPWORDS)!r}, x)))
+                    / greatest(len({toks}), 1), 4) AS stopword_ratio,
+              CASE WHEN len({toks}) > 0
+                   THEN round(list_sum(list_transform({toks}, t -> length(t)))
+                              / CAST(len({toks}) AS DOUBLE), 4)
+                   ELSE 0.0 END AS mean_word_len
+            FROM documents""",
+        "quality_score": f"""
+            WITH st AS (
+              SELECT doc_id,
+                CAST(len({toks}) AS BIGINT) AS n_tokens,
+                round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                      / greatest(length(text), 1), 4) AS punct_ratio,
+                CASE WHEN len({toks}) > 0
+                     THEN round(list_sum(list_transform({toks}, t -> length(t)))
+                                / CAST(len({toks}) AS DOUBLE), 4)
+                     ELSE 0.0 END AS mean_word_len
+              FROM documents)
+            SELECT doc_id,
+              round(least(n_tokens / 50.0, 1.0) * 0.4
+                    + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                            THEN 1.0 ELSE 0.5 END) * 0.3
+                    + greatest(0.0, 1.0 - punct_ratio * 4) * 0.3, 4) AS quality
+            FROM st""",
+        "language_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                {lang_hits('de')} AS h_de, {lang_hits('en')} AS h_en,
+                {lang_hits('es')} AS h_es, {lang_hits('fr')} AS h_fr
+              FROM documents),
+            m AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
+                         greatest(h_de, h_en, h_es, h_fr) AS mx FROM h)
+            SELECT doc_id,
+              CASE WHEN mx = 0 THEN 'und'
+                   WHEN h_fr = mx THEN 'fr'
+                   WHEN h_es = mx THEN 'es'
+                   WHEN h_en = mx THEN 'en'
+                   ELSE 'de' END AS pred_lang,
+              mx AS marker_hits
+            FROM m""",
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort({shingles8}), chr(0))) AS fingerprint
+            FROM documents""",
+        "ann_topk_quantized": """
+            WITH q AS (
+              SELECT vec_id AS query_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qq
+              FROM embeddings WHERE vec_id < 5),
+            c AS (
+              SELECT vec_id AS neighbor_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS cq
+              FROM embeddings),
+            d AS (
+              SELECT query_id, neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(cq) + 1),
+                                                  i -> cq[i] * qq[i])) AS BIGINT) AS dot
+              FROM c, q),
+            r AS (SELECT query_id, neighbor_id,
+                         CAST(row_number() OVER (
+                           PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+                         ) AS INT) AS rank, dot
+                  FROM d)
+            SELECT query_id, neighbor_id, rank, dot FROM r WHERE rank <= 10""",
+        "media_meta": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS media_type,
+              CAST(octet_length(encode(text || text)) AS BIGINT) AS n_bytes,
+              CAST((doc_id * 7919) % 1920 + 1 AS INT) AS width,
+              CAST((doc_id * 104729) % 1080 + 1 AS INT) AS height
+            FROM documents""",
+    }
     return {
+        **extras,
         "linked_mentions": f"""{_T_CTE}, {mentions_cte}
             SELECT * FROM linked""",
         "mention_triples": f"""{_T_CTE}, {mentions_cte}

@@ -46,6 +46,10 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) 
 
     transcripts = transcripts_from_events(spark, sf_dir)
 
+    # warm-up: spin up Python workers before timing (one-time per executor)
+    warm = assemble_documents(transcripts.limit(2000))
+    split_quarantine(docs_to_triples(warm))[0].count()
+
     docs = assemble_documents(transcripts)
     timed("assemble", docs)
 

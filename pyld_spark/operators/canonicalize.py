@@ -170,30 +170,34 @@ def canonical_labels(triples: DataFrame) -> DataFrame:
 def canonicalize_triples(triples: DataFrame) -> DataFrame:
     """Relabel every blank node in the triples table with its canonical
     per-document label (prefixed with the doc namespace for corpus-global
-    uniqueness). Three hash-partitioned joins on (doc_id, bnode)."""
+    uniqueness).
+
+    Single shuffle join: the per-document label mappings are collected into
+    one small map per doc_id and joined once on doc_id (all three bnode
+    positions relabel via ``element_at`` on that map) — 1 exchange of the
+    fat triples table instead of 3."""
     labels = canonical_labels(triples).withColumn(
         "global_label",
         F.concat(F.lit("_:d"), F.substring(F.sha2(F.col("doc_id"), 256), 1, 16),
                  F.lit("_"), F.substring(F.col("label"), 3, 1000)),
     )
+    label_maps = labels.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bnode"), F.col("global_label")))
+        ).alias("_lmap")
+    )
 
-    t = triples
-    for col, kind_pred in (
-        ("subj", F.col("subj").startswith("_:")),
-        ("obj_value", F.col("obj_kind") == "blank node"),
-        ("graph", F.col("graph").startswith("_:")),
-    ):
-        lab = labels.select(
-            F.col("doc_id").alias("_ldoc"), F.col("bnode").alias("_lb"),
-            F.col("global_label").alias("_lnew"),
-        )
-        t = (
-            t.join(
-                lab,
-                (F.col("doc_id") == F.col("_ldoc")) & (F.col(col) == F.col("_lb")),
-                "left",
-            )
-            .withColumn(col, F.when(kind_pred & F.col("_lnew").isNotNull(), F.col("_lnew")).otherwise(F.col(col)))
-            .drop("_ldoc", "_lb", "_lnew")
-        )
-    return t
+    t = triples.join(label_maps, "doc_id", "left")
+
+    def relabel(col, is_bnode):
+        return F.when(
+            is_bnode & F.col("_lmap").isNotNull(),
+            F.coalesce(F.element_at(F.col("_lmap"), F.col(col)), F.col(col)),
+        ).otherwise(F.col(col))
+
+    return (
+        t.withColumn("subj", relabel("subj", F.col("subj").startswith("_:")))
+        .withColumn("obj_value", relabel("obj_value", F.col("obj_kind") == "blank node"))
+        .withColumn("graph", relabel("graph", F.col("graph").startswith("_:")))
+        .drop("_lmap")
+    )

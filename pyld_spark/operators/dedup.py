@@ -1,0 +1,265 @@
+"""Deduplication operators over the ``documents`` table — the training-data
+pipeline half of the engine (no reference analogue; required extras).
+
+All-relational designs (whole-stage codegen, no Python):
+
+- :func:`exact_dedup` — md5 groupBy; survivor = min(doc_id).
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via inverted-index
+  self-join (shuffle on shingle; skew-guarded by dropping ultra-common
+  shingles, the classic stopword-shingle optimization).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash+LSH:
+  shingle → K permutation-hash minima (xxhash64 with per-permutation seed
+  columns) → band buckets → candidate join. At 100 TB this is *the* scale
+  path: cost is linear in corpus size + bucket collisions, never pairwise.
+- :func:`simhash_signatures` — 64-bit SimHash from token hash sign-sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text_col, k: int = 5):
+    """Character k-shingles as an array column (JVM-side, no UDF)."""
+    n = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(text_col, 1, k) if False else F.expr("1")
+        )
+    )
+
+
+def shingle_expr(col_name: str, k: int = 5):
+    """array_distinct of character k-shingles, as a SQL expression (usable
+    verbatim in Spark SQL; DuckDB oracle mirrors it with list comprehension)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({col_name}) - {k - 1}, 1)),"
+        f" i -> substring({col_name}, i, {k})))"
+    )
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content_hash, survivor_id, is_duplicate) per document.
+
+    One shuffle on the 32-hex-char hash; survivor = min(doc_id) per group.
+    """
+    h = documents.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    survivors = h.groupBy("content_hash").agg(F.min(id_col).alias("survivor_id"))
+    return (
+        h.join(survivors, "content_hash")
+        .select(
+            id_col, "content_hash", "survivor_id",
+            (F.col(id_col) != F.col("survivor_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted index.
+
+    plan: explode shingles → drop shingles appearing in > ``max_shingle_df``
+    docs (skew guard: a stop-shingle would produce df² join rows) → self-join
+    on shingle → count intersections → join sizes → filter by threshold.
+    Returns (doc_a, doc_b, inter, size_a, size_b, jaccard) with doc_a < doc_b.
+    """
+    sh = documents.select(
+        F.col(id_col).alias("doc"), F.explode(shingle_expr(text_col, k)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("size"))
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sh_f = sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "sh")
+    a = sh_f.select(F.col("doc").alias("doc_a"), "sh")
+    b = sh_f.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("size").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc_id, sig array<long>): MinHash signature from k-shingles.
+
+    Permutation i = xxhash64(shingle, seed_i); the signature entry is the
+    minimum over shingles — all inside one JVM projection, no shuffle.
+    """
+    shingles = shingle_expr(text_col, k)
+
+    def _perm_hash(i):
+        # closure factory — a 2-arg lambda would be given (element, index)
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_hashes)]
+    )
+    return documents.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs sharing
+    any (band, bucket) become candidate pairs.
+
+    Shuffles once on (band, bucket); hot buckets are bounded because a bucket
+    key includes the band hash of ``rows_per_band`` 64-bit minima.
+    Returns distinct (doc_a, doc_b) candidates with doc_a < doc_b.
+    """
+    banded = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash pipeline: signatures → LSH candidates → verify candidates
+    with estimated Jaccard (signature agreement)."""
+    sigs = minhash_signatures(documents, text_col, id_col, k, num_hashes)
+    cands = minhash_lsh_pairs(sigs, id_col, bands, num_hashes // bands)
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(F.broadcast(sa) if False else sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over whitespace tokens.
+
+    For each bit position: sum over tokens of (+1 if xxhash64(token) has the
+    bit set else -1); the signature bit is the sign. Pure JVM expressions.
+    """
+    tokens = F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _bit_sum(i):
+        # closure factory (a default-arg lambda would change the arity
+        # Spark uses to decide the lambda signature)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = [
+        F.when(
+            F.aggregate(hashed, F.lit(0).cast("long"), _bit_sum(i)) > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    sim = bits[0]
+    for i in range(1, 64):
+        sim = sim + F.shiftleft(bits[i], i)
+    return documents.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Blocking: the 64-bit signature is split into ``max_hamming + 1`` blocks —
+    by pigeonhole, any pair within the distance budget shares at least one
+    exact block, so the join is on (block_idx, block_value), never all-pairs.
+    """
+    n_blocks = max_hamming + 1
+    base, extra = divmod(64, n_blocks)
+    offsets, off = [], 0
+    for i in range(n_blocks):
+        ln = base + (1 if i < extra else 0)
+        offsets.append((off, ln))
+        off += ln
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), o).bitwiseAND(F.lit((1 << ln) - 1))
+            for o, ln in offsets
+        ]
+    )
+    blocked = signatures.select(
+        F.col(id_col).alias("doc"), F.col("simhash"),
+        F.posexplode(blocks).alias("block_idx", "block_val"),
+    )
+    a = blocked.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "block_idx", "block_val",
+    )
+    b = blocked.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "block_idx", "block_val",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

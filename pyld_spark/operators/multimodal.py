@@ -1,0 +1,185 @@
+"""Multimodal column handling (training-data extras).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata. The
+decode/resize/frame-sample kernels require codec libraries that are not in
+this container, so the *kernels* are stubbed (clearly marked), while all the
+Spark-side plumbing — schemas, Arrow batch shapes, partitioning, UDF
+signatures — is real and tested:
+
+- :func:`attach_fake_payload` — deterministic synthetic binary payloads
+  derived from text (lets the whole path run hermetically);
+- :func:`extract_binary_features` — mapInPandas over binary columns:
+  per-blob length / prefix / byte-histogram features (real vectorized code);
+- :func:`decode_image_stub` / :func:`sample_frames_stub` — the codec-backed
+  kernels; raise NotImplementedError unless ``fake=True``, in which case a
+  deterministic fake decode runs so schema/batch plumbing stays testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def attach_fake_payload(documents: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary payload per document (utf-8 bytes of the text,
+    doubled) + fake metadata — hermetic stand-in for real image bytes."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(id_col) % 3 == 0, F.lit("image/png"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        F.encode(F.concat(F.col(text_col), F.col(text_col)), "utf-8").alias("payload"),
+        # portable modular arithmetic (not xxhash64) so the oracle can replay
+        (F.pmod(F.col(id_col) * 7919, F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(F.col(id_col) * 104729, F.lit(1080)) + 1).cast("int").alias("height"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("prefix_hex", StringType(), False),
+        StructField("byte_entropy_q", LongType(), False),
+    ]
+)
+
+
+def extract_binary_features(media: DataFrame) -> DataFrame:
+    """Vectorized feature extraction over binary payloads (real code, no
+    codecs): size, 8-byte prefix, quantized byte entropy. Narrow mapInPandas
+    — the pattern any real decode stage would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                counts = [0] * 256
+                for byte in b:
+                    counts[byte] += 1
+                n = len(b) or 1
+                ent = -sum(
+                    (c / n) * math.log2(c / n) for c in counts if c
+                )
+                rows.append(
+                    (int(doc_id), len(b), b[:8].hex(), int(round(ent * 1000)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "prefix_hex", "byte_entropy_q"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("pixels_checksum", StringType(), True),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+    ]
+)
+
+
+def decode_image_stub(media: DataFrame, target_size: tuple[int, int] = (224, 224),
+                      fake: bool = False) -> DataFrame:
+    """Image decode + resize kernel.
+
+    STUB: real decoding needs PIL/libjpeg (absent in this container). With
+    ``fake=True`` a deterministic fake decode (sha1 of payload as the "pixel
+    checksum") exercises the identical schema/batch/partitioning path.
+    """
+
+    tw, th = target_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload, w, h in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                if mt != "image/png":
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "image decode requires PIL/libjpeg — not available in "
+                        "this container; pass fake=True for the deterministic "
+                        "test double"
+                    )
+                digest = hashlib.sha1(bytes(payload or b"")).hexdigest()
+                rows.append((int(doc_id), digest, min(tw, int(w)), min(th, int(h))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pixels_checksum", "out_width", "out_height"]
+            )
+
+    return media.mapInPandas(run, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_checksum", StringType(), False),
+    ]
+)
+
+
+def sample_frames_stub(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+    """Video frame-sampling kernel (STUB — needs ffmpeg). ``fake=True``
+    deterministically derives frame checksums from payload slices so batch
+    shape and fan-out (1 row in → N frames out) are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "video/mp4":
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "frame sampling requires ffmpeg — not available; "
+                        "pass fake=True for the deterministic test double"
+                    )
+                b = bytes(payload or b"")
+                n_frames = max(len(b) // (every_n * 10), 1)
+                for i in range(min(n_frames, 8)):
+                    chunk = b[i * every_n: (i + 1) * every_n + 10]
+                    rows.append(
+                        (int(doc_id), i, hashlib.sha1(chunk).hexdigest()[:16])
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_checksum"])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,143 @@
+"""N-Quads as a Spark source/sink (SURVEY.md §2.1).
+
+Reader: ``spark.read.text`` + one regex → flat triples columns, fully
+JVM-side (``regexp_extract`` over the same grammar as the reference's parser,
+/root/reference/lib/pyld/nquads.py:28-136). Malformed lines become quarantine
+rows rather than exceptions. Dedup per graph = ``dropDuplicates``.
+
+Writer: pure-projection serialization (concat + escape chain) →
+``df.write.text``. The global sort exists only for small conformance outputs;
+at scale use ``sorted_within_partitions=True`` which sorts per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+_IRI = r"<([^:]+:[^>]*)>"
+_BNODE = r"(_:[A-Za-z0-9][A-Za-z0-9.\-_]*)"
+_LIT = r'"((?:[^"\\]|\\.)*)"'
+_WS = r"[ \t]+"
+_WSO = r"[ \t]*"
+
+QUAD_PATTERN = (
+    rf"^{_WSO}(?:{_IRI}|{_BNODE}){_WS}{_IRI}{_WS}"
+    rf"(?:{_IRI}|{_BNODE}|{_LIT}(?:\^\^<([^:]+:[^>]*)>|@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?)"
+    rf"(?:{_WS}(?:{_IRI}|{_BNODE}))?{_WSO}\.{_WSO}$"
+)
+
+
+def _unescape(col):
+    out = col
+    for esc, raw in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"),
+                     ('\\"', '"'), ("\\\\", "\x00ESC\x00")):
+        out = F.replace(out, F.lit(esc), F.lit(raw))
+    return F.replace(out, F.lit("\x00ESC\x00"), F.lit("\\"))
+
+
+def _escape(col):
+    out = col
+    for raw, esc in (("\\", "\\\\"), ("\t", "\\t"), ("\n", "\\n"),
+                     ("\r", "\\r"), ('"', '\\"')):
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def read_nquads(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
+    """N-Quads file(s) → triples DataFrame (+ ``error_code`` quarantine
+    column for malformed lines)."""
+    lines = spark.read.text(path)
+    g = [F.regexp_extract("value", QUAD_PATTERN, i) for i in range(0, 11)]
+    s_iri, s_bn, p_iri = g[1], g[2], g[3]
+    o_iri, o_bn, o_lit, o_dt, o_lang = g[4], g[5], g[6], g[7], g[8]
+    g_iri, g_bn = g[9], g[10]
+    is_blank = F.col("value").rlike(r"^[ \t]*(#.*)?$")
+    matches = F.col("value").rlike(QUAD_PATTERN)
+    parsed = (
+        lines.filter(~is_blank)
+        .withColumn("_ok", matches)
+        .select(
+            F.when(F.col("_ok") & (s_iri != ""), s_iri)
+            .when(F.col("_ok"), s_bn).alias("subj"),
+            F.when(F.col("_ok"), p_iri).alias("pred"),
+            F.when(~F.col("_ok"), F.lit(None))
+            .when(o_iri != "", F.lit("IRI"))
+            .when(o_bn != "", F.lit("blank node"))
+            .otherwise(F.lit("literal"))
+            .alias("obj_kind"),
+            F.when(~F.col("_ok"), F.lit(None))
+            .when(o_iri != "", o_iri)
+            .when(o_bn != "", o_bn)
+            .otherwise(_unescape(o_lit))
+            .alias("obj_value"),
+            F.when(~F.col("_ok") | (o_iri != "") | (o_bn != ""), F.lit(None))
+            .when(o_lang != "", F.lit(RDF_LANGSTRING))
+            .when(o_dt != "", o_dt)
+            .otherwise(F.lit(XSD_STRING))
+            .alias("obj_datatype"),
+            F.when(F.col("_ok") & (o_lang != ""), o_lang).alias("obj_language"),
+            F.when(~F.col("_ok"), F.lit(None))
+            .when(g_iri != "", g_iri)
+            .when(g_bn != "", g_bn)
+            .otherwise(F.lit("@default"))
+            .alias("graph"),
+            F.when(~F.col("_ok"), F.lit("invalid N-Quads line")).alias("error_code"),
+        )
+    )
+    if dedup:
+        good = parsed.filter(F.col("error_code").isNull()).dropDuplicates(
+            ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+             "obj_language", "graph"]
+        )
+        return good.unionByName(parsed.filter(F.col("error_code").isNotNull()))
+    return parsed
+
+
+def nquad_line(df: DataFrame) -> DataFrame:
+    """Triples DataFrame → single ``value`` column of N-Quads lines
+    (pure projection; whole-stage codegen)."""
+    subj = F.when(F.col("subj").startswith("_:"), F.col("subj")).otherwise(
+        F.concat(F.lit("<"), F.col("subj"), F.lit(">"))
+    )
+    pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
+    lit_suffix = (
+        F.when(F.col("obj_datatype") == RDF_LANGSTRING,
+               F.concat(F.lit("@"), F.coalesce(F.col("obj_language"), F.lit(""))))
+        .when(
+            F.col("obj_datatype").isNotNull() & (F.col("obj_datatype") != XSD_STRING),
+            F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
+        )
+        .otherwise(F.lit(""))
+    )
+    obj = (
+        F.when(F.col("obj_kind") == "IRI",
+               F.concat(F.lit("<"), F.col("obj_value"), F.lit(">")))
+        .when(F.col("obj_kind") == "blank node", F.col("obj_value"))
+        .otherwise(
+            F.concat(F.lit('"'), _escape(F.col("obj_value")), F.lit('"'), lit_suffix)
+        )
+    )
+    graph = (
+        F.when(F.col("graph").isNull() | (F.col("graph") == "@default"), F.lit(""))
+        .when(F.col("graph").startswith("_:"), F.concat(F.lit(" "), F.col("graph")))
+        .otherwise(F.concat(F.lit(" <"), F.col("graph"), F.lit(">")))
+    )
+    return df.select(
+        F.concat(subj, F.lit(" "), pred, F.lit(" "), obj, graph, F.lit(" .")).alias("value")
+    )
+
+
+def write_nquads(df: DataFrame, path: str, sort_globally: bool = False) -> None:
+    """Triples → N-Quads files. ``sort_globally`` only for conformance-sized
+    outputs (it is a total order over the corpus); the default sorts within
+    partitions (deterministic files without a global shuffle)."""
+    lines = nquad_line(df)
+    if sort_globally:
+        lines = lines.orderBy("value")
+    else:
+        lines = lines.sortWithinPartitions("value")
+    lines.write.mode("overwrite").text(path)

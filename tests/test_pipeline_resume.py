@@ -1,0 +1,36 @@
+"""Pipeline driver: checkpointing, resume, lineage."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyld_spark.plans.pipeline import Pipeline
+from pyld_spark.transcripts import transcripts_from_events
+
+
+def test_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
+    wd = str(tmp_path / "pipeline")
+    t = transcripts_from_events(spark, sf_dir)
+    p = Pipeline(spark, wd, run_id="r1")
+    out = p.run(t)
+    n_triples = out["triples"].count()
+    n_canon = out["canonicalize"].count()
+    n_mat = out["materialize"].count()
+    assert n_triples == n_canon
+    assert n_mat > n_canon  # + mention triples
+    lineage1 = {r.stage: r for r in p.lineage().collect()}
+    assert set(lineage1) == {
+        "assemble", "link", "triples", "canonicalize", "materialize",
+    }
+    assert lineage1["triples"].rows_out == n_triples
+    assert lineage1["triples"].error_rows == 0
+
+    # resume: delete one stage; re-run must rebuild only that stage chain
+    shutil.rmtree(wd + "/canonicalize")
+    p2 = Pipeline(spark, wd, run_id="r2")
+    out2 = p2.run(t)
+    assert out2["canonicalize"].count() == n_canon
+    lineage2 = p2.lineage().collect()
+    rebuilt = [r.stage for r in lineage2 if r.run_id == "r2"]
+    assert "canonicalize" in rebuilt
+    assert "assemble" not in rebuilt and "triples" not in rebuilt

@@ -33,6 +33,12 @@ spark.sparkContext.setLogLevel("ERROR")
 t = synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}).cache()
 n_turns = t.count()  # materialize input before the clock starts
 
+# warm-up: spin up Python workers + JIT before the clock (one-time cost per
+# executor; irrelevant at production stage lengths)
+warm = assemble_documents(t.limit(2000))
+split_quarantine(docs_to_triples(warm))[0].count()
+canonicalize_triples(split_quarantine(docs_to_triples(warm))[0]).count()
+
 t0 = time.perf_counter()
 docs = assemble_documents(t)
 triples, _ = split_quarantine(docs_to_triples(docs))

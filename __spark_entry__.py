@@ -222,8 +222,77 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(attach_fake_payload(_docs(spark, sf_dir)))
 
 
+def _q_list_chain_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.fromrdf_stage import list_chain_lengths
+
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    return list_chain_lengths(triples)
+
+
+def _q_fromrdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """triples → fromRDF per doc → count of reconstructed @list entries:
+    the full inverse direction exercised at corpus level."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyld_spark.operators.fromrdf_stage import triples_to_documents
+
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    recon = triples_to_documents(triples)
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("n_list_items", LongType(), False),
+    ])
+
+    def count_lists(batches):
+        import json as _json
+
+        import pandas as pd
+
+        def count(doc_json):
+            if doc_json is None:
+                return 0
+            total = 0
+            for node in _json.loads(doc_json):
+                for v in node.values():
+                    if isinstance(v, list):
+                        for item in v:
+                            if isinstance(item, dict) and "@list" in item:
+                                total += len(item["@list"])
+            return total
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_list_items": pdf["expanded"].map(count).astype("int64"),
+            })
+
+    return recon.mapInPandas(count_lists, schema)
+
+
+def _q_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.frame_stage import frame_corpus
+    from pyld_spark.transcripts import VOCAB as _V
+
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    frame_doc = {
+        "@context": {"@vocab": _V},
+        "@type": "Conversation",
+    }
+    return frame_corpus(docs, triples, frame_doc)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "list_chain_lengths": _q_list_chain_lengths,
+        "fromrdf_roundtrip": _q_fromrdf_roundtrip,
+        "framed_conversations": _q_framed,
         "transcripts_from_events": _q_transcripts,
         "assembly_stats": _q_assembly_stats,
         "turn_literal_triples": _q_turn_triples,
@@ -453,6 +522,14 @@ def oracle_sql() -> dict[str, str]:
     }
     return {
         **extras,
+        "list_chain_lengths": f"""{_T_CTE}
+            SELECT conv_id AS doc_id,
+                   concat('_:d', substr(sha256(conv_id), 1, 16), '_b0') AS head,
+                   CAST(count(*) AS BIGINT) AS length
+            FROM transcripts GROUP BY conv_id""",
+        "fromrdf_roundtrip": f"""{_T_CTE}
+            SELECT conv_id AS doc_id, CAST(count(*) AS BIGINT) AS n_list_items
+            FROM transcripts GROUP BY conv_id""",
         "linked_mentions": f"""{_T_CTE}, {mentions_cte}
             SELECT * FROM linked""",
         "mention_triples": f"""{_T_CTE}, {mentions_cte}

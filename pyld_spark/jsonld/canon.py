@@ -89,7 +89,9 @@ class URDNA2015:
         lines = []
         for quad in quads:
             lines.append(serialize_quad(self._relabel_quad(quad, mapping)))
-        return "".join(sorted(set(lines)))
+        # no dedup: reference parity — duplicate triples from the toRDF path
+        # are serialized as-is (dedup happens only on N-Quads *parse*)
+        return "".join(sorted(lines))
 
     # -- internals ---------------------------------------------------------
 

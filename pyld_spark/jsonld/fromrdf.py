@@ -31,6 +31,11 @@ from pyld_spark.jsonld.rdf import (
 )
 
 RDF_LIST = RDF_NS + "List"
+RDF_VALUE = RDF_NS + "value"
+RDF_LANGUAGE = RDF_NS + "language"
+RDF_DIRECTION = RDF_NS + "direction"
+
+_LANG_RE = re.compile(r"^[a-zA-Z]+(-[a-zA-Z0-9]+)*$")
 
 _INT_RE = re.compile(r"^[+-]?[0-9]+$")
 _DOUBLE_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
@@ -98,9 +103,12 @@ def from_rdf(
     default_graph: dict = {}
     graph_map: dict = {"@default": default_graph}
     referenced_once: dict = {}
+    compound_subjects: dict = {}
 
     for subj, pred, obj, name in quads:
         node_map = graph_map.setdefault(name, {})
+        if rdf_direction == "compound-literal" and pred["value"] == RDF_DIRECTION:
+            compound_subjects.setdefault(name, set()).add(subj["value"])
         if name != "@default" and name not in default_graph:
             default_graph[name] = {"@id": name}
         node = node_map.setdefault(subj["value"], {"@id": subj["value"]})
@@ -128,6 +136,41 @@ def from_rdf(
                 referenced_once[oid] = {
                     "node": node, "property": pred["value"], "value": value,
                 }
+
+    # compound-literal decode (reference jsonld.py:3123-3185): rewrite
+    # unshared rdf:value/language/direction bnodes into @direction values
+    for name, cls in compound_subjects.items():
+        graph_object = graph_map.get(name, {})
+        for cl in sorted(cls):
+            entry = referenced_once.get(cl)
+            if not isinstance(entry, dict):
+                continue
+            value = entry["value"]
+            cl_node = graph_object.get(cl)
+            if cl_node is None or RDF_VALUE not in cl_node:
+                continue
+            value.pop("@id", None)
+            value["@value"] = cl_node[RDF_VALUE][0]["@value"]
+            if RDF_LANGUAGE in cl_node:
+                lang = cl_node[RDF_LANGUAGE][0]["@value"]
+                if not _LANG_RE.match(lang):
+                    from pyld_spark.jsonld.errors import JsonLdError
+
+                    raise JsonLdError(
+                        f"invalid language tag: {lang}",
+                        "invalid language-tagged string",
+                    )
+                value["@language"] = lang.lower()
+            if RDF_DIRECTION in cl_node:
+                d = cl_node[RDF_DIRECTION][0]["@value"]
+                if d not in ("ltr", "rtl"):
+                    from pyld_spark.jsonld.errors import JsonLdError
+
+                    raise JsonLdError(
+                        f"invalid direction: {d}", "invalid base direction"
+                    )
+                value["@direction"] = d
+            graph_object.pop(cl, None)
 
     # list reconstruction (walk rdf:rest chains backwards from rdf:nil)
     for name, graph_object in graph_map.items():

@@ -28,14 +28,23 @@ def escape(s: str) -> str:
     return s
 
 
-def unescape(s: str) -> str:
-    def repl(m):
-        c = m.group(1)
-        return {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\"}.get(c, c)
+_UNESCAPE_RE = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))")
 
-    s = re.sub(r"\\u([0-9A-Fa-f]{4})", lambda m: chr(int(m.group(1), 16)), s)
-    s = re.sub(r"\\U([0-9A-Fa-f]{8})", lambda m: chr(int(m.group(1), 16)), s)
-    return re.sub(r"\\(.)", repl, s)
+
+def unescape(s: str) -> str:
+    # single left-to-right pass: '\\u0007' is an escaped backslash followed
+    # by literal 'u0007', NOT a unicode escape — two-phase substitution
+    # would corrupt it
+    def repl(m):
+        if m.group(1):
+            return chr(int(m.group(1), 16))
+        if m.group(2):
+            return chr(int(m.group(2), 16))
+        c = m.group(3)
+        return {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+                '"': '"', "\\": "\\", "'": "'"}.get(c, c)
+
+    return _UNESCAPE_RE.sub(repl, s)
 
 
 def serialize_term(term: dict) -> str:

@@ -20,16 +20,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _shingles(text_col, k: int = 5):
-    """Character k-shingles as an array column (JVM-side, no UDF)."""
-    n = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n), lambda i: F.substring(text_col, 1, k) if False else F.expr("1")
-        )
-    )
-
-
 def shingle_expr(col_name: str, k: int = 5):
     """array_distinct of character k-shingles, as a SQL expression (usable
     verbatim in Spark SQL; DuckDB oracle mirrors it with list comprehension)."""

@@ -32,9 +32,10 @@ QUAD_PATTERN = (
 
 
 def _unescape(col):
-    out = col
-    for esc, raw in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"),
-                     ('\\"', '"'), ("\\\\", "\x00ESC\x00")):
+    # escaped backslashes FIRST (to a sentinel) so '\\t' (literal backslash
+    # + t) is not misread as a tab escape; single-char escapes after
+    out = F.replace(col, F.lit("\\\\"), F.lit("\x00ESC\x00"))
+    for esc, raw in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"), ('\\"', '"')):
         out = F.replace(out, F.lit(esc), F.lit(raw))
     return F.replace(out, F.lit("\x00ESC\x00"), F.lit("\\"))
 

@@ -1,0 +1,85 @@
+"""Corpus-level frame and fromRDF stages."""
+
+from __future__ import annotations
+
+import json
+
+from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
+from pyld_spark.operators.frame_stage import frame_corpus, frame_subject_filter
+from pyld_spark.operators.fromrdf_stage import list_chain_lengths, triples_to_documents
+from pyld_spark.transcripts import VOCAB, assemble_documents, transcripts_from_events
+
+from tests.ref_oracle import get_reference_jsonld
+from tests.test_expand_vs_reference import equal_unordered
+
+
+def _triples(spark, sf_dir):
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir)).cache()
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    return docs, triples.cache()
+
+
+def test_frame_subject_filter_prunes(spark, sf_dir):
+    from pyld_spark.jsonld import api
+
+    docs, triples = _triples(spark, sf_dir)
+    frame = {"@context": {"@vocab": VOCAB}, "@type": "Turn", "tool": {}}
+    expanded = api.expand(frame, {"isFrame": True, "keepFreeFloatingNodes": True})
+    subjects = frame_subject_filter(triples, expanded)
+    rows = subjects.collect()
+    assert rows
+    # every selected subject is a Turn with a tool triple
+    tool_subjects = {
+        (r.doc_id, r.subj)
+        for r in triples.filter(f"pred = '{VOCAB}tool'").collect()
+    }
+    assert all((r.doc_id, r.subj) in tool_subjects for r in rows)
+
+
+def test_frame_corpus_matches_reference(spark, sf_dir):
+    docs, triples = _triples(spark, sf_dir)
+    frame = {"@context": {"@vocab": VOCAB}, "@type": "Conversation"}
+    out = frame_corpus(docs.limit(3), triples, frame).collect()
+    ref = get_reference_jsonld()
+    by_id = {r.doc_id: r for r in out}
+    for row in docs.limit(3).collect():
+        r = by_id[row.conv_id]
+        assert r.error_code is None
+        expected = ref.frame(json.loads(row.doc), frame)
+        assert equal_unordered(json.loads(r.framed), expected), row.conv_id
+
+
+def test_triples_to_documents_roundtrip(spark, sf_dir):
+    """fromRDF over the corpus triples reconstructs each conversation's
+    @list of turns with the right length and text values."""
+    docs, triples = _triples(spark, sf_dir)
+    recon = {r.doc_id: r for r in triples_to_documents(triples).collect()}
+    source = transcripts_from_events(spark, sf_dir).collect()
+    by_conv: dict = {}
+    for r in source:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert set(recon) == set(by_conv)
+    sample = sorted(by_conv)[:5]
+    for conv_id in sample:
+        row = recon[conv_id]
+        assert row.error_code is None
+        nodes = json.loads(row.expanded)
+        conv_node = next(
+            n for n in nodes if n.get("@id", "").endswith(conv_id)
+        )
+        lists = conv_node[VOCAB + "turns"]
+        assert len(lists) == 1 and "@list" in lists[0]
+        assert len(lists[0]["@list"]) == len(by_conv[conv_id])
+
+
+def test_list_chain_lengths(spark, sf_dir):
+    docs, triples = _triples(spark, sf_dir)
+    lengths = {r.doc_id: r.length for r in list_chain_lengths(triples).collect()}
+    from pyspark.sql import functions as F
+
+    expected = {
+        r.conv_id: r.n
+        for r in transcripts_from_events(spark, sf_dir)
+        .groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert lengths == expected

@@ -1,0 +1,128 @@
+"""Scaling efficiency on a REAL multi-executor Spark standalone cluster
+(4 local workers x 8 cores — separate executor JVMs, so none of local-mode's
+single-JVM shuffle/GC contention).
+
+Levels map directly to the north_rule's "N vs 4N executors":
+  N  = 1 executor  x EXEC_CORES
+  4N = 4 executors x EXEC_CORES
+EXEC_CORES defaults to 2 so that even the 4N level leaves the 32-core box
+undersubscribed (executor JVMs, python workers, driver and shuffle IO all
+need headroom — 4x8 cores on one box measures oversubscription, not
+scaling). Override with EXEC_CORES env var.
+
+Start the cluster first (tools/standalone_cluster.sh start), then:
+    python tools/bench_cluster_scaling.py [n_convs] [turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyld_spark.session import package_zip
+
+cores_max = {cores_max}
+spark = (
+    SparkSession.builder.appName(f"cluster-scaling-{{cores_max}}")
+    .master("spark://127.0.0.1:7077")
+    .config("spark.executor.cores", str({exec_cores}))
+    .config("spark.executor.memory", "12g")
+    .config("spark.cores.max", str(cores_max))
+    .config("spark.sql.shuffle.partitions", str(max(32, cores_max * 2)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    .config("spark.local.dir", "/dev/shm/spark-local")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.addPyFile(package_zip())
+spark.sparkContext.setLogLevel("ERROR")
+
+from pyld_spark.transcripts import assemble_documents, synthesize_transcripts
+from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
+from pyld_spark.operators.canonicalize import canonicalize_triples
+
+t = synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}).cache()
+n_turns = t.count()
+# warm-up: executor + python-worker spin-up off the clock (cache the warm
+# triples so canonicalize doesn't re-plan the whole python chain in one AQE
+# query — mirrors the staged pipeline, which checkpoints between stages)
+warm = split_quarantine(docs_to_triples(assemble_documents(t.limit(2000))))[0].cache()
+warm.count()
+canonicalize_triples(warm).count()
+warm.unpersist()
+
+t0 = time.perf_counter()
+triples, _ = split_quarantine(docs_to_triples(assemble_documents(t)))
+triples = triples.cache()
+n_triples = triples.count()
+t_triples = time.perf_counter() - t0
+t0b = time.perf_counter()
+n_canon = canonicalize_triples(triples).count()
+t_total = t_triples + (time.perf_counter() - t0b)
+print("RESULT " + json.dumps({{
+    "cores_max": cores_max, "executors": cores_max // {exec_cores},
+    "n_turns": n_turns, "n_triples": n_triples,
+    "wall_triples": round(t_triples, 3), "wall_total": round(t_total, 3),
+    "triples_per_sec": round(n_triples / t_triples, 1),
+    "pipeline_triples_per_sec": round(n_triples / t_total, 1),
+}}))
+spark.stop()
+"""
+
+
+def run_level(cores_max: int, n_convs: int, turns: int, exec_cores: int) -> dict:
+    code = _CHILD.format(repo=REPO, cores_max=cores_max, n_convs=n_convs,
+                         turns=turns, exec_cores=exec_cores)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT (cores_max={cores_max}):\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
+    )
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    exec_cores = int(os.environ.get("EXEC_CORES", "2"))
+    results = {}
+    levels = (exec_cores, exec_cores * 4)
+    for cores in levels:
+        best = None
+        for _ in range(trials):
+            r = run_level(cores, n_convs, turns, exec_cores)
+            if best is None or r["wall_total"] < best["wall_total"]:
+                best = r
+        results[cores] = best
+        print(json.dumps(best))
+    lo, hi = levels
+    eff = {
+        "triples_stage": round(
+            results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"] / 4.0, 3
+        ),
+        "full_pipeline": round(
+            results[hi]["pipeline_triples_per_sec"]
+            / results[lo]["pipeline_triples_per_sec"] / 4.0, 3
+        ),
+    }
+    print(json.dumps({"mode": f"standalone 1 vs 4 executors ({exec_cores} cores each)",
+                      "scaling_efficiency": eff, "levels": results}))
+
+
+if __name__ == "__main__":
+    main()

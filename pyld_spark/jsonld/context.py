@@ -56,11 +56,18 @@ UNSET = _Unset()
 
 
 def is_keyword(value) -> bool:
-    return isinstance(value, str) and value in KEYWORDS
+    # hot path: the leading-char check short-circuits the set lookup for the
+    # overwhelmingly common non-keyword case
+    return (
+        isinstance(value, str) and value.startswith("@") and value in KEYWORDS
+    )
 
 
 def is_keyword_like(value) -> bool:
-    return isinstance(value, str) and bool(_KEYWORD_LIKE_RE.match(value))
+    if not isinstance(value, str) or not value.startswith("@"):
+        return False
+    rest = value[1:]
+    return bool(rest) and rest.isascii() and rest.isalpha()
 
 
 def arrayify(value) -> list:
@@ -100,6 +107,10 @@ class Context:
     processing_mode: str = "json-ld-1.1"
     # cache slot for the inverse context (built lazily by compaction)
     _inverse: dict | None = field(default=None, compare=False, repr=False)
+    # runtime key→expanded-IRI memo (expansion hot path). Safe because term
+    # definitions only mutate during process_context, which always works on
+    # a clone() — and clones start with a fresh cache.
+    _rt_cache: dict = field(default_factory=dict, compare=False, repr=False)
 
     def clone(self) -> "Context":
         return Context(

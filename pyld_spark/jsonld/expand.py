@@ -94,6 +94,20 @@ def _dropped(st: _State, key: str) -> None:
         st.on_dropped(key)
 
 
+_CACHE_MISS = object()
+
+
+def _expand_key_iri(active_ctx: Context, key: str):
+    """Memoized expand_iri(key, vocab=True) — the expansion hot path runs it
+    for every key of every node against a small set of shared contexts."""
+    cache = active_ctx._rt_cache
+    v = cache.get(key, _CACHE_MISS)
+    if v is _CACHE_MISS:
+        v = expand_iri(active_ctx, key, vocab=True)
+        cache[key] = v
+    return v
+
+
 def _expand(st: _State, active_ctx: Context, active_property, element, base_url, from_map=False):
     if element is None:
         return None
@@ -134,10 +148,10 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
     if (
         active_ctx.previous is not None
         and not from_map
-        and not any(expand_iri(active_ctx, k, vocab=True) == "@value" for k in element)
+        and not any(_expand_key_iri(active_ctx, k) == "@value" for k in element)
         and not (
             len(element) == 1
-            and expand_iri(active_ctx, next(iter(element)), vocab=True) == "@id"
+            and _expand_key_iri(active_ctx, next(iter(element))) == "@id"
         )
     ):
         active_ctx = active_ctx.previous
@@ -157,7 +171,7 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
     type_scoped_ctx = active_ctx
     input_type = None
     for key in sorted(element):
-        if expand_iri(active_ctx, key, vocab=True) == "@type":
+        if _expand_key_iri(active_ctx, key) == "@type":
             values = arrayify(element[key])
             for term in sorted(v for v in values if isinstance(v, str)):
                 tdef = type_scoped_ctx.terms.get(term)
@@ -258,7 +272,7 @@ def _expand_keys(
         if key == "@context":
             continue
         value = element[key]
-        expanded_property = expand_iri(active_ctx, key, vocab=True)
+        expanded_property = _expand_key_iri(active_ctx, key)
         if expanded_property is None or not (
             (isinstance(expanded_property, str) and ":" in expanded_property)
             or is_keyword(expanded_property)

@@ -101,7 +101,7 @@ def compact(document, ctx, options: dict | None = None) -> dict:
         else:
             kw_graph = compact_iri(active, "@graph", vocab=True)
             compacted = {kw_graph: compacted}
-    if ctx_value and compacted:
+    if ctx_value:
         compacted = {"@context": ctx_value, **compacted}
     return compacted
 

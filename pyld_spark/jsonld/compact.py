@@ -206,7 +206,11 @@ def compact_iri(
 
         containers.append("@none")
         if active.processing_mode != "json-ld-1.0":
-            if not isinstance(value, dict) or "@index" not in value:
+            # reference parity: @index candidates only for actual values
+            # (an empty property — value None — falls through to CURIE)
+            if value is not None and (
+                not isinstance(value, dict) or "@index" not in value
+            ):
                 containers += ["@index", "@index@set"]
             if is_value_object(value) and set(value) == {"@value"}:
                 containers += ["@language", "@language@set"]
@@ -514,13 +518,15 @@ def compact(
         # regular property
         if not expanded_value:
             item_active_property = compact_iri(
-                active, expanded_property, value=expanded_value,
+                active, expanded_property, value=None,
                 vocab=True, reverse=inside_reverse,
             )
             nest_result, container = _nest_target(
                 active, result, item_active_property
             )
-            _add_compacted(nest_result, item_active_property, [], True)
+            # explicit empty-property emission (direct set: _add_compacted
+            # treats [] as add_value's no-op)
+            nest_result.setdefault(item_active_property, [])
             continue
 
         for expanded_item in expanded_value:
@@ -633,6 +639,20 @@ def compact(
                 _add_compacted(map_object, key, compacted_item, as_array)
                 continue
 
+            if isinstance(compacted_item, list) and not compacted_item:
+                # reference parity: an originally-empty JSON array value sets
+                # the property to [] directly (post-unwrap empties drop)
+                nest_result.setdefault(item_active_property, [])
+                continue
+            # reference parity: compactArrays unwraps ANY singleton list
+            # value (including @json literal arrays)
+            if (
+                compact_arrays
+                and isinstance(compacted_item, list)
+                and len(compacted_item) == 1
+                and not (container & {"@set", "@list"})
+            ):
+                compacted_item = compacted_item[0]
             _add_compacted(nest_result, item_active_property, compacted_item, as_array)
 
     return result
@@ -691,16 +711,18 @@ def _nest_target(active: Context, result: dict, item_active_property: str):
 
 
 def _add_compacted(target: dict, key: str, value, as_array: bool) -> None:
+    """Reference add_value semantics: list values append item by item (an
+    empty list adds nothing; a singleton collapses to a scalar unless
+    as_array)."""
+    if isinstance(value, list):
+        for v in value:
+            _add_compacted(target, key, v, as_array)
+        return
     if key in target:
         existing = target[key]
         if not isinstance(existing, list):
             existing = [existing]
             target[key] = existing
-        if isinstance(value, list):
-            existing.extend(value)
-        else:
-            existing.append(value)
+        existing.append(value)
     else:
-        if as_array and not isinstance(value, list):
-            value = [value]
-        target[key] = value
+        target[key] = [value] if as_array else value

@@ -73,6 +73,11 @@ def resolve_iri(base: str | None, rel: str) -> str:
         rel = ""
     if base is None or base == "":
         return rel
+    head = re.split(r"[/?#]", rel, maxsplit=1)[0]
+    if ":" in head and not _SCHEME_RE.match(rel):
+        # colon before any slash but not a valid scheme (':', '0:') — the
+        # reference processor treats these as opaque and leaves them alone
+        return rel
     r_scheme, r_auth, r_path, r_query, r_frag = parse_iri(rel)
     b_scheme, b_auth, b_path, b_query, _ = parse_iri(base)
     if r_scheme is not None:

@@ -66,8 +66,14 @@ def compare_values(v1, v2) -> bool:
     if v1 == v2 and not isinstance(v1, (dict, list)) and not isinstance(v2, (dict, list)):
         return True
     if _is_value(v1) and _is_value(v2):
+        a, b = v1.get("@value"), v2.get("@value")
+        if type(a) is bool or type(b) is bool:
+            values_equal = type(a) is type(b) and a == b
+        else:
+            values_equal = a == b  # plain equality — @json values may be
+            # lists/dicts and must compare structurally, not via recursion
         return (
-            compare_values(v1.get("@value"), v2.get("@value"))
+            values_equal
             and v1.get("@type") == v2.get("@type")
             and v1.get("@language") == v2.get("@language")
             and v1.get("@index") == v2.get("@index")

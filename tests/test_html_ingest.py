@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyld_spark.jsonld.errors import JsonLdError
+from pyld_spark.sources.html_ingest import (
+    extract_scripts,
+    html_base,
+    html_to_documents,
+    load_html,
+)
+
+HTML = """<!DOCTYPE html><html><head>
+<base href="/sub/dir/">
+<script type="application/ld+json">
+{"@context": {"n": "http://e/n"}, "@id": "http://e/a", "n": "first"}
+</script>
+<script type="text/javascript">var x = 1;</script>
+<script type="application/ld+json;profile=http://www.w3.org/ns/json-ld#expanded" id="second">
+[{"@id": "http://e/b", "http://e/n": [{"@value": "second"}]}]
+</script>
+</head><body></body></html>"""
+
+BAD_HTML = '<script type="application/ld+json">{not json</script>'
+
+
+def test_extract_all_scripts():
+    docs = load_html(HTML, extract_all_scripts=True)
+    assert isinstance(docs, list) and len(docs) == 2
+    assert docs[0]["@id"] == "http://e/a"
+    assert docs[1]["@id"] == "http://e/b"
+
+
+def test_extract_first_script_only():
+    doc = load_html(HTML, extract_all_scripts=False)
+    assert doc["@id"] == "http://e/a"
+
+
+def test_fragment_selects_script_by_id():
+    doc = load_html(HTML, url="http://site/page#second")
+    assert doc[0]["@id"] == "http://e/b"
+    with pytest.raises(JsonLdError) as ei:
+        load_html(HTML, url="http://site/page#missing")
+    assert ei.value.code == "loading document failed"
+
+
+def test_base_href_resolved():
+    assert html_base(HTML, "http://site/page") == "http://site/sub/dir/"
+
+
+def test_invalid_json_error_code():
+    with pytest.raises(JsonLdError) as ei:
+        extract_scripts(BAD_HTML)
+    assert ei.value.code == "invalid script element"
+
+
+def test_html_to_documents_stage(spark):
+    pages = spark.createDataFrame(
+        [(1, HTML, "http://site/page"), (2, BAD_HTML, "http://x/"),
+         (3, "<html>no scripts</html>", None)],
+        ["page_id", "html", "url"],
+    )
+    out = {r.doc_id: r for r in html_to_documents(pages, url_col="url").collect()}
+    assert out["1"].error_code is None
+    docs = json.loads(out["1"].doc)
+    assert len(docs) == 2 and out["1"].base == "http://site/sub/dir/"
+    assert out["2"].error_code == "invalid script element"
+    assert out["3"].error_code == "loading document failed"
+
+    # the extracted docs feed the triples stage directly
+    from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
+
+    good = html_to_documents(pages, url_col="url").filter("error_code is null")
+    triples, q = split_quarantine(
+        docs_to_triples(good, id_col="doc_id", doc_col="doc")
+    )
+    vals = {r.obj_value for r in triples.collect() if r.obj_kind == "literal"}
+    assert {"first", "second"} <= vals

@@ -92,6 +92,40 @@ def add_value(subject: dict, prop: str, value, allow_duplicate: bool = True) -> 
         existing.append(value)
 
 
+def has_property(subject: dict, prop: str) -> bool:
+    """Reference JsonLdProcessor.has_property (jsonld.py:1115-1130)."""
+    value = subject.get(prop)
+    if value is None:
+        return False
+    return len(value) > 0 if isinstance(value, list) else True
+
+
+def get_values(subject: dict, prop: str) -> list:
+    v = subject.get(prop)
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def has_value(subject: dict, prop: str, value) -> bool:
+    return any(compare_values(v, value) for v in get_values(subject, prop))
+
+
+def remove_property(subject: dict, prop: str) -> None:
+    subject.pop(prop, None)
+
+
+def remove_value(subject: dict, prop: str, value,
+                 property_is_array: bool = False) -> None:
+    remaining = [v for v in get_values(subject, prop) if not compare_values(v, value)]
+    if not remaining:
+        remove_property(subject, prop)
+    elif len(remaining) == 1 and not property_is_array:
+        subject[prop] = remaining[0]
+    else:
+        subject[prop] = remaining
+
+
 def create_node_map(
     element,
     node_map: dict,

@@ -12,6 +12,7 @@ pyld_spark.operators.fromrdf_stage.
 from __future__ import annotations
 
 import json
+import math
 import re
 
 from pyld_spark.jsonld.nodemap import add_value
@@ -35,28 +36,128 @@ RDF_VALUE = RDF_NS + "value"
 RDF_LANGUAGE = RDF_NS + "language"
 RDF_DIRECTION = RDF_NS + "direction"
 
-_LANG_RE = re.compile(r"^[a-zA-Z]+(-[a-zA-Z0-9]+)*$")
+_BCP47_RE = re.compile(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$")
 
-_INT_RE = re.compile(r"^[+-]?[0-9]+$")
-_DOUBLE_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_INT_RE = re.compile(r"^[+-]?\d+$")
 
 
 def _is_bnode_id(v) -> bool:
     return isinstance(v, str) and v.startswith("_:")
 
 
+def _is_value_object(v) -> bool:
+    return isinstance(v, dict) and "@value" in v
+
+
+def _single_rdf_value(node: dict, key: str) -> bool:
+    vals = node.get(key)
+    return isinstance(vals, list) and len(vals) == 1 and _is_value_object(vals[0])
+
+
+_COMPOUND_KEYS = {"@id", RDF_VALUE, RDF_LANGUAGE, RDF_DIRECTION}
+
+
+def _compound_literal_to_value(node_id: str, node: dict):
+    """Value object for a compound-literal-shaped bnode, else None.
+
+    Reference parity: jsonld.py:3123-3186 — the node must carry *only*
+    rdf:value/rdf:direction (+ optional rdf:language); extra properties make
+    it an ordinary node. The full rdf:value value object is copied (datatype
+    and native value preserved) and the language tag's case is kept.
+    """
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    if (
+        not node_id.startswith("_:")
+        or set(node) - _COMPOUND_KEYS
+        or RDF_VALUE not in node
+        or RDF_DIRECTION not in node
+    ):
+        return None
+    if not _single_rdf_value(node, RDF_VALUE):
+        raise JsonLdError(
+            "rdf:value must be a single value.", "invalid value object"
+        )
+    if not _single_rdf_value(node, RDF_DIRECTION):
+        raise JsonLdError(
+            "rdf:direction must be a single value.", "invalid base direction"
+        )
+    value = dict(node[RDF_VALUE][0])
+    direction = node[RDF_DIRECTION][0].get("@value")
+    if direction not in ("ltr", "rtl"):
+        raise JsonLdError(
+            f"invalid direction: {direction}", "invalid base direction"
+        )
+    if RDF_LANGUAGE in node:
+        if not _single_rdf_value(node, RDF_LANGUAGE):
+            raise JsonLdError(
+                "rdf:language must be a single value.",
+                "invalid language-tagged string",
+            )
+        language = node[RDF_LANGUAGE][0].get("@value")
+        if not isinstance(language, str) or not _BCP47_RE.match(language):
+            raise JsonLdError(
+                f"invalid language tag: {language}",
+                "invalid language-tagged string",
+            )
+        value["@language"] = language
+    value["@direction"] = direction
+    return value
+
+
+def _rewrite_compound_literals(graph_object: dict) -> None:
+    """Replace once-referenced compound-literal bnodes with @direction value
+    objects, in place (runs before @list reconstruction so list items can be
+    directional)."""
+    compound_literals = {
+        node_id: value
+        for node_id, node in graph_object.items()
+        if (value := _compound_literal_to_value(node_id, node)) is not None
+    }
+    if not compound_literals:
+        return
+    # locate references; only unshared (exactly-once) bnodes are rewritten —
+    # shared bnodes carry graph identity and must stay @id references
+    references: dict[str, list] = {}
+    for node in graph_object.values():
+        for key, values in node.items():
+            if key == "@id" or not isinstance(values, list):
+                continue
+            for index, item in enumerate(values):
+                if not (isinstance(item, dict) and set(item) == {"@id"}):
+                    continue
+                ref_id = item["@id"]
+                if ref_id in compound_literals:
+                    locations = references.setdefault(ref_id, [])
+                    if len(locations) < 2:
+                        locations.append((values, index))
+    for node_id, value in compound_literals.items():
+        locations = references.get(node_id, [])
+        if len(locations) != 1:
+            continue
+        values, index = locations[0]
+        values[index] = value
+        del graph_object[node_id]
+
+
 def rdf_to_object(term: dict, use_native_types: bool, rdf_direction: str | None,
                   processing_mode: str = "json-ld-1.1"):
-    """RDF term → JSON-LD value/node object (§8.3.2 step helper)."""
+    """RDF term → JSON-LD value/node object (§8.3.2 step helper).
+
+    Branch order mirrors the reference (jsonld.py:4036-4106): JSON literal
+    parse first, then native types (which win over the i18n-datatype decode),
+    then i18n, then plain typed literal.
+    """
     if term["type"] in ("IRI", "blank node"):
         return {"@id": term["value"]}
     value = term["value"]
-    datatype = term.get("datatype") or XSD_STRING
     rval: dict = {"@value": value}
     if term.get("language"):
         rval["@language"] = term["language"]
-    elif datatype == RDF_JSON and processing_mode != "json-ld-1.0":
-        rval["@type"] = "@json"
+        return rval
+    datatype = term.get("datatype") or XSD_STRING
+    if datatype == RDF_JSON and processing_mode != "json-ld-1.0":
+        datatype = "@json"
         try:
             rval["@value"] = json.loads(value)
         except ValueError as e:
@@ -65,6 +166,31 @@ def rdf_to_object(term: dict, use_native_types: bool, rdf_direction: str | None,
             raise JsonLdError(
                 f"invalid rdf:JSON literal: {e}", "invalid JSON literal"
             )
+    if use_native_types:
+        converted = False
+        if datatype == XSD_BOOLEAN:
+            if value in ("true", "1"):
+                rval["@value"] = True
+                converted = True
+            elif value in ("false", "0"):
+                rval["@value"] = False
+                converted = True
+        elif datatype == XSD_INTEGER and _INT_RE.match(value):
+            rval["@value"] = int(value)
+            converted = True
+        elif datatype == XSD_DOUBLE:
+            # reference accepts anything float() accepts, but non-finite
+            # results (e.g. "1e400" → inf) keep the typed string
+            try:
+                converted_value = float(value)
+            except (ValueError, TypeError):
+                pass
+            else:
+                if math.isfinite(converted_value):
+                    rval["@value"] = converted_value
+                    converted = True
+        if not converted and datatype != XSD_STRING:
+            rval["@type"] = datatype
     elif rdf_direction == "i18n-datatype" and datatype.startswith(I18N_NS):
         lang_dir = datatype[len(I18N_NS):]
         lang, _, direction = lang_dir.partition("_")
@@ -72,20 +198,6 @@ def rdf_to_object(term: dict, use_native_types: bool, rdf_direction: str | None,
             rval["@language"] = lang
         if direction:
             rval["@direction"] = direction
-    elif use_native_types:
-        if datatype == XSD_BOOLEAN:
-            if value == "true":
-                rval["@value"] = True
-            elif value == "false":
-                rval["@value"] = False
-            else:
-                rval["@type"] = datatype
-        elif datatype == XSD_INTEGER and _INT_RE.match(value):
-            rval["@value"] = int(value)
-        elif datatype == XSD_DOUBLE and _DOUBLE_RE.match(value):
-            rval["@value"] = float(value)
-        elif datatype != XSD_STRING:
-            rval["@type"] = datatype
     elif datatype != XSD_STRING:
         rval["@type"] = datatype
     return rval
@@ -103,12 +215,9 @@ def from_rdf(
     default_graph: dict = {}
     graph_map: dict = {"@default": default_graph}
     referenced_once: dict = {}
-    compound_subjects: dict = {}
 
     for subj, pred, obj, name in quads:
         node_map = graph_map.setdefault(name, {})
-        if rdf_direction == "compound-literal" and pred["value"] == RDF_DIRECTION:
-            compound_subjects.setdefault(name, set()).add(subj["value"])
         if name != "@default" and name not in default_graph:
             default_graph[name] = {"@id": name}
         node = node_map.setdefault(subj["value"], {"@id": subj["value"]})
@@ -137,43 +246,11 @@ def from_rdf(
                     "node": node, "property": pred["value"], "value": value,
                 }
 
-    # compound-literal decode (reference jsonld.py:3123-3185): rewrite
-    # unshared rdf:value/language/direction bnodes into @direction values
-    for name, cls in compound_subjects.items():
-        graph_object = graph_map.get(name, {})
-        for cl in sorted(cls):
-            entry = referenced_once.get(cl)
-            if not isinstance(entry, dict):
-                continue
-            value = entry["value"]
-            cl_node = graph_object.get(cl)
-            if cl_node is None or RDF_VALUE not in cl_node:
-                continue
-            value.pop("@id", None)
-            value["@value"] = cl_node[RDF_VALUE][0]["@value"]
-            if RDF_LANGUAGE in cl_node:
-                lang = cl_node[RDF_LANGUAGE][0]["@value"]
-                if not _LANG_RE.match(lang):
-                    from pyld_spark.jsonld.errors import JsonLdError
-
-                    raise JsonLdError(
-                        f"invalid language tag: {lang}",
-                        "invalid language-tagged string",
-                    )
-                value["@language"] = lang.lower()
-            if RDF_DIRECTION in cl_node:
-                d = cl_node[RDF_DIRECTION][0]["@value"]
-                if d not in ("ltr", "rtl"):
-                    from pyld_spark.jsonld.errors import JsonLdError
-
-                    raise JsonLdError(
-                        f"invalid direction: {d}", "invalid base direction"
-                    )
-                value["@direction"] = d
-            graph_object.pop(cl, None)
-
     # list reconstruction (walk rdf:rest chains backwards from rdf:nil)
     for name, graph_object in graph_map.items():
+        # compound literals decode first so @list items can be directional
+        if rdf_direction == "compound-literal":
+            _rewrite_compound_literals(graph_object)
         nil = graph_object.get(RDF_NIL)
         if nil is None:
             continue

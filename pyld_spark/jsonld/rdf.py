@@ -73,30 +73,41 @@ def object_to_rdf(item: dict, issuer: IdentifierIssuer, triples: list, graph_nam
     elif type(value) is bool:
         value = "true" if value else "false"
         datatype = datatype or XSD_BOOLEAN
-    elif _is_double_valued(value) or datatype == XSD_DOUBLE:
+    elif _is_double_valued(value):
         value = canonical_double(float(value))
         datatype = datatype or XSD_DOUBLE
+    elif datatype == XSD_DOUBLE:
+        # value is not a float here; canonicalize only when convertible,
+        # else emit the lexical form unchanged (reference
+        # jsonld.py:3948-3961 — never raise on e.g. "not-a-number")
+        try:
+            value = canonical_double(float(value))
+        except (ValueError, TypeError):
+            value = str(value)
     elif isinstance(value, (int, float)):
         value = "%d" % value
         datatype = datatype or XSD_INTEGER
-    elif direction is not None and rdf_direction == "i18n-datatype":
-        datatype = I18N_NS + f"{(language or '').lower()}_{direction}"
-        value = str(value)
     elif direction is not None and rdf_direction == "compound-literal":
+        # emission order mirrors the reference: rdf:value, rdf:direction,
+        # then rdf:language; language case preserved (expansion already
+        # lowercased keyword @language — jsonld.py:3965-4002)
         bnode = issuer.get_id()
         term = {"type": "blank node", "value": bnode}
         subj = term
         triples.append((subj, {"type": "IRI", "value": RDF_NS + "value"},
                         {"type": "literal", "value": str(value), "datatype": XSD_STRING},
                         graph_name))
-        if language is not None:
-            triples.append((subj, {"type": "IRI", "value": RDF_NS + "language"},
-                            {"type": "literal", "value": language.lower(),
-                             "datatype": XSD_STRING}, graph_name))
         triples.append((subj, {"type": "IRI", "value": RDF_NS + "direction"},
                         {"type": "literal", "value": direction, "datatype": XSD_STRING},
                         graph_name))
+        if language is not None:
+            triples.append((subj, {"type": "IRI", "value": RDF_NS + "language"},
+                            {"type": "literal", "value": language,
+                             "datatype": XSD_STRING}, graph_name))
         return term
+    elif direction is not None and rdf_direction == "i18n-datatype":
+        datatype = I18N_NS + f"{language or ''}_{direction}"
+        value = str(value)
     else:
         value = str(value)
         if language is not None:

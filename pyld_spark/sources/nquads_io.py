@@ -19,7 +19,9 @@ XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
 _IRI = r"<([^:]+:[^>]*)>"
-_BNODE = r"(_:[A-Za-z0-9][A-Za-z0-9.\-_]*)"
+# same grammar as the driver-side parser (pyld_spark.jsonld.nquads._BNODE):
+# a bnode label cannot end with '.'
+_BNODE = r"(_:(?:[A-Za-z0-9]+(?:[A-Za-z0-9.\-_]*[A-Za-z0-9\-_])?))"
 _LIT = r'"((?:[^"\\]|\\.)*)"'
 _WS = r"[ \t]+"
 _WSO = r"[ \t]*"
@@ -30,14 +32,38 @@ QUAD_PATTERN = (
     rf"(?:{_WS}(?:{_IRI}|{_BNODE}))?{_WSO}\.{_WSO}$"
 )
 
+#: a genuine \uXXXX/\UXXXXXXXX escape = '\u' preceded by an EVEN number of
+#: backslashes ('\\u0007' is an escaped backslash + literal "u0007")
+_UNI_ESCAPE = r"(?:\A|[^\\])(?:\\\\)*\\[uU]"
+
 
 def _unescape(col):
-    # escaped backslashes FIRST (to a sentinel) so '\\t' (literal backslash
-    # + t) is not misread as a tab escape; single-char escapes after
+    """JVM-side unescape, identical to nquads.unescape for any literal with
+    no unicode escape (those route through :func:`_unescape_unicode`):
+    escaped backslashes FIRST (to a sentinel) so '\\\\t' (literal backslash
+    + t) is not misread as a tab escape; named escapes next; any remaining
+    unknown escape collapses to its raw char (driver-parser semantics)."""
     out = F.replace(col, F.lit("\\\\"), F.lit("\x00ESC\x00"))
-    for esc, raw in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"), ('\\"', '"')):
+    for esc, raw in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"), ('\\"', '"'),
+                     ("\\b", "\b"), ("\\f", "\f"), ("\\'", "'")):
         out = F.replace(out, F.lit(esc), F.lit(raw))
+    out = F.regexp_replace(out, r"\\(.)", r"$1")
     return F.replace(out, F.lit("\x00ESC\x00"), F.lit("\\"))
+
+
+def _unescape_unicode(col):
+    """Arrow-batched fallback for the rare literal containing \\uXXXX — runs
+    the exact driver-side ``nquads.unescape`` so both paths share one
+    grammar. Only rows matching ``_UNI_ESCAPE`` ever reach this."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s):
+        from pyld_spark.jsonld.nquads import unescape
+
+        return s.map(lambda v: unescape(v) if v is not None else None)
+
+    return run(col)
 
 
 def _escape(col):
@@ -70,10 +96,13 @@ def read_nquads(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame
             .when(o_bn != "", F.lit("blank node"))
             .otherwise(F.lit("literal"))
             .alias("obj_kind"),
+            F.when(
+                F.col("_ok") & (o_iri == "") & (o_bn == ""), o_lit
+            ).alias("_raw_lit"),
             F.when(~F.col("_ok"), F.lit(None))
             .when(o_iri != "", o_iri)
             .when(o_bn != "", o_bn)
-            .otherwise(_unescape(o_lit))
+            .otherwise(F.lit(None))
             .alias("obj_value"),
             F.when(~F.col("_ok") | (o_iri != "") | (o_bn != ""), F.lit(None))
             .when(o_lang != "", F.lit(RDF_LANGSTRING))
@@ -89,6 +118,23 @@ def read_nquads(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame
             F.when(~F.col("_ok"), F.lit("invalid N-Quads line")).alias("error_code"),
         )
     )
+    # literal unescaping: the JVM expression chain covers everything except
+    # \uXXXX/\UXXXXXXXX; the (rare) rows containing a genuine unicode escape
+    # take the Arrow UDF path so both paths decode the exact same grammar.
+    # Split-filter + union keeps the Python worker out of the common case
+    # (a `when` would force the UDF to evaluate on every row).
+    needs_py = (
+        (F.col("obj_kind") == "literal")
+        & F.col("_raw_lit").isNotNull()
+        & F.col("_raw_lit").rlike(_UNI_ESCAPE)
+    )
+    fast = parsed.filter(~F.coalesce(needs_py, F.lit(False))).withColumn(
+        "obj_value", F.coalesce(F.col("obj_value"), _unescape(F.col("_raw_lit")))
+    )
+    slow = parsed.filter(F.coalesce(needs_py, F.lit(False))).withColumn(
+        "obj_value", _unescape_unicode(F.col("_raw_lit"))
+    )
+    parsed = fast.unionByName(slow).drop("_raw_lit")
     if dedup:
         good = parsed.filter(F.col("error_code").isNull()).dropDuplicates(
             ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",

@@ -36,6 +36,40 @@ def test_read_nquads(spark, tmp_path):
     assert graphs == {"@default", "http://e/graph1", "_:gn"}
 
 
+UNI_NQ = """\
+<http://e/a> <http://e/p> "caf\\u00E9 \\U0001F600 ok" .
+<http://e/a> <http://e/p> "not-an-escape \\\\u0041 kept" .
+<http://e/a> <http://e/p> "odd \\\\\\u0042 b" .
+<http://e/a> <http://e/p> "unknown \\z escape" .
+_:trail. <http://e/p> "bnode cannot end with dot" .
+"""
+
+
+def test_read_nquads_unicode_escapes_match_pure_parser(spark, tmp_path):
+    """The Spark reader and the driver-side parser decode one grammar:
+    \\uXXXX/\\UXXXXXXXX (UDF path), escaped-backslash+u (JVM path), unknown
+    escapes collapse, and the bnode label grammar rejects a trailing dot."""
+    from pyld_spark.jsonld.nquads import unescape
+
+    p = str(tmp_path / "uni.nq")
+    with open(p, "w") as f:
+        f.write(UNI_NQ)
+    df = read_nquads(spark, p).cache()
+    assert df.filter("error_code is not null").count() == 1  # trailing-dot bnode
+    got = {r.obj_value for r in df.filter("error_code is null").collect()}
+    expected = {
+        unescape("caf\\u00E9 \\U0001F600 ok"),
+        unescape("not-an-escape \\\\u0041 kept"),
+        unescape("odd \\\\\\u0042 b"),
+        unescape("unknown \\z escape"),
+    }
+    assert got == expected
+    assert "café \U0001f600 ok" in got
+    assert "not-an-escape \\u0041 kept" in got
+    assert "odd \\B b" in got
+    assert "unknown z escape" in got
+
+
 def test_roundtrip_matches_pure_parser(spark, tmp_path):
     from pyld_spark.jsonld.nquads import parse_nquads, serialize_quads
 

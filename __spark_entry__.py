@@ -95,10 +95,12 @@ def _q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_canonical_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.expand_stage import canonical_nquads_stats
+
     ensure_workers_can_import(spark)
     docs = assemble_documents(transcripts_from_events(spark, sf_dir))
     out, _ = split_quarantine(docs_to_canonical_nquads(docs))
-    return out
+    return canonical_nquads_stats(out)
 
 
 def _q_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,15 +142,20 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyld_spark.operators.dedup import minhash_dedup_pairs
+    from pyld_spark.operators.dedup import minhash_dedup_pairs_md5
 
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return minhash_dedup_pairs_md5(_docs(spark, sf_dir), threshold=0.2)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyld_spark.operators.dedup import simhash_near_pairs, simhash_signatures
+    from pyld_spark.operators.dedup import (
+        simhash_near_pairs_md5,
+        simhash_signatures_md5,
+    )
 
-    return simhash_near_pairs(simhash_signatures(_docs(spark, sf_dir)), max_hamming=16)
+    return simhash_near_pairs_md5(
+        simhash_signatures_md5(_docs(spark, sf_dir)), max_hamming=16
+    )
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,13 +197,46 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from pyld_spark.operators.similarity import brute_force_topk
+    from pyld_spark.operators.similarity import fixedpoint_cosine_topk
 
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(embs, queries_df, k=10)
+    return fixedpoint_cosine_topk(embs, queries_df, k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) with a brute-force agreement flag: for
+    each LSH hit, ``in_brute`` says whether the exact top-k also contains it
+    — per-query recall is sum(in_brute)/k, fully oracle-replayable."""
+    from pyspark.sql import functions as F
+
+    from pyld_spark.operators.similarity import (
+        fixedpoint_cosine_topk,
+        lsh_bucketed_topk_fixedpoint,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_bucketed_topk_fixedpoint(embs, queries_df, dim=64, k=10, n_planes=6)
+    brute = fixedpoint_cosine_topk(embs, queries_df, k=10).select(
+        "query_id", F.col("neighbor_id").alias("_bf_neighbor")
+    )
+    return (
+        lsh.join(
+            brute,
+            (lsh["query_id"] == brute["query_id"])
+            & (lsh["neighbor_id"] == brute["_bf_neighbor"]),
+            "left",
+        )
+        .select(
+            lsh["query_id"], lsh["neighbor_id"], lsh["rank"], lsh["cos_q6"],
+            F.col("_bf_neighbor").isNotNull().alias("in_brute"),
+        )
+    )
 
 
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +260,30 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_binary_features(attach_fake_payload(_docs(spark, sf_dir)))
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (1 row in → N frame rows out) through
+    the deterministic fake decode — the multimodal batch shape, gate-checked."""
+    ensure_workers_can_import(spark)
+    from pyld_spark.operators.multimodal import attach_fake_payload, sample_frames_stub
+
+    return sample_frames_stub(attach_fake_payload(_docs(spark, sf_dir)), fake=True)
+
+
+def _q_compact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.compact_stage import compact_corpus_stats
+    from pyld_spark.transcripts import VOCAB as _V, XSD as _X
+
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    target_ctx = {
+        "@vocab": _V,
+        "turns": {"@id": _V + "turns", "@container": "@list"},
+        "idx": {"@id": _V + "turnIndex", "@type": _X + "integer"},
+        "who": {"@id": _V + "role"},
+    }
+    return compact_corpus_stats(docs, target_ctx, "turns", ["idx", "who"])
 
 
 def _q_list_chain_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +339,7 @@ def _q_fromrdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyld_spark.operators.frame_stage import frame_corpus
+    from pyld_spark.operators.frame_stage import frame_corpus_stats
     from pyld_spark.transcripts import VOCAB as _V
 
     ensure_workers_can_import(spark)
@@ -285,7 +349,7 @@ def _q_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "@context": {"@vocab": _V},
         "@type": "Conversation",
     }
-    return frame_corpus(docs, triples, frame_doc)
+    return frame_corpus_stats(docs, triples, frame_doc)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -311,8 +375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ann_topk_quantized": _q_ann_topk,
         "ann_topk_cosine": _q_ann_brute_cosine,
+        "ann_topk_lsh": _q_ann_lsh,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "compact_corpus": _q_compact_corpus,
     }
 
 
@@ -396,6 +463,37 @@ def oracle_sql() -> dict[str, str]:
     shingles5 = (
         "list_distinct(list_transform(range(1, greatest(length(text)-4,1)+1),"
         " i -> text[i:i+4]))"
+    )
+    # md5-MinHash signature (mirrors dedup.minhash_signatures_md5 exactly:
+    # entry h = lexicographic min over shingles of md5('h:' || shingle))
+    minhash_sig = (
+        f"list_transform(range(0, 32), h -> list_min(list_transform({shingles5},"
+        " s -> md5(concat(h, ':', s)))))"
+    )
+    from pyld_spark.operators.dedup import _hamming_block_offsets
+
+    simhash_blocks = ", ".join(
+        f"({i}, {o + 1}, {ln})"
+        for i, (o, ln) in enumerate(_hamming_block_offsets(64, 17))
+    )
+
+    def esc_nq(col: str) -> str:
+        # N-Quads literal escaping, same order as jsonld.nquads.escape:
+        # backslash first, then tab/newline/cr/quote
+        return (
+            "replace(replace(replace(replace(replace(" + col +
+            ", '\\', '\\\\'), chr(9), '\\t'), chr(10), '\\n'),"
+            " chr(13), '\\r'), '\"', '\\\"')"
+        )
+
+    quant = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0)"
+        " AS BIGINT))"
+    )
+    fixed_cos = (
+        "CAST(list_sum(list_transform(range(1, 65), i -> cq[i] * qq[i])) AS DOUBLE)"
+        " / sqrt(CAST(list_sum(list_transform(cq, x -> x * x)) AS DOUBLE)"
+        " * CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))"
     )
     shingles8 = (
         "list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),"
@@ -488,6 +586,131 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort({shingles8}), chr(0))) AS fingerprint
             FROM documents""",
+        "minhash_dedup_pairs": f"""
+            WITH sigs AS (SELECT doc_id, {minhash_sig} AS sig FROM documents),
+            banded AS (
+              SELECT s.doc_id AS doc, t.b AS band,
+                     md5(concat_ws('|', s.sig[4*t.b+1], s.sig[4*t.b+2],
+                                        s.sig[4*t.b+3], s.sig[4*t.b+4])) AS bucket
+              FROM sigs s, range(0, 8) t(b)),
+            cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+            verified AS (
+              SELECT doc_a, doc_b,
+                     CAST(list_sum(list_transform(range(1, 33),
+                          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                       AS BIGINT) AS n_agree
+              FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_a
+                        JOIN sigs sb ON sb.doc_id = cand.doc_b)
+            SELECT doc_a, doc_b, n_agree FROM verified WHERE n_agree >= 0.2 * 32""",
+        "simhash_near_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS tk
+              FROM documents),
+            sigs AS (
+              SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+                CASE WHEN coalesce(list_sum(list_transform(tk, t ->
+                  CASE WHEN (CAST(concat('0x', substr(md5(t), (j // 4) + 1, 1)) AS BIGINT)
+                             >> (j % 4)) % 2 = 1
+                       THEN 1 ELSE -1 END)), 0) > 0 THEN '1' ELSE '0' END), '') AS simbits
+              FROM toks),
+            blk(block_idx, start, len) AS (VALUES {simhash_blocks}),
+            blocked AS (
+              SELECT doc_id AS doc, simbits, block_idx,
+                     substr(simbits, start, len) AS block_val
+              FROM sigs, blk),
+            pairs AS (
+              SELECT DISTINCT a.doc AS doc_a, a.simbits AS sa,
+                              b.doc AS doc_b, b.simbits AS sb
+              FROM blocked a JOIN blocked b
+                ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+               AND a.doc < b.doc),
+            ham AS (
+              SELECT doc_a, doc_b,
+                     CAST(list_sum(list_transform(range(1, 65),
+                          i -> CASE WHEN substr(sa, i, 1) = substr(sb, i, 1)
+                               THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+              FROM pairs)
+            SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 16""",
+        "ann_topk_cosine": f"""
+            WITH q AS (SELECT vec_id AS query_id, {quant} AS qq
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, {quant} AS cq FROM embeddings),
+            d AS (SELECT query_id, neighbor_id, {fixed_cos} AS cos FROM c, q),
+            r AS (SELECT query_id, neighbor_id,
+                         CAST(row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                         ) AS INT) AS rank,
+                         CAST(floor(cos * 1000000) AS BIGINT) AS cos_q6
+                  FROM d)
+            SELECT query_id, neighbor_id, rank, cos_q6 FROM r WHERE rank <= 10""",
+        "ann_topk_lsh": f"""
+            WITH planes AS (
+              SELECT i, list_transform(range(0, 64), j ->
+                (CAST(concat('0x', substr(md5(concat(i, ':', j)), 1, 8)) AS BIGINT)
+                 % 2001) - 1000) AS p
+              FROM range(0, 6) t(i)),
+            qv AS (SELECT vec_id, {quant} AS v FROM embeddings),
+            sig AS (
+              SELECT vec_id,
+                     string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY i) AS bucket
+              FROM (SELECT qv.vec_id, pl.i,
+                           list_sum(list_transform(range(1, 65), x -> v[x] * p[x])) AS dot
+                    FROM qv, planes pl) dots
+              GROUP BY vec_id),
+            q AS (SELECT qv.vec_id AS query_id, v AS qq, bucket
+                  FROM qv JOIN sig ON qv.vec_id = sig.vec_id WHERE qv.vec_id < 5),
+            c AS (SELECT qv.vec_id AS neighbor_id, v AS cq, bucket
+                  FROM qv JOIN sig ON qv.vec_id = sig.vec_id),
+            d AS (SELECT query_id, neighbor_id, {fixed_cos} AS cos
+                  FROM c JOIN q ON c.bucket = q.bucket),
+            lshr AS (SELECT query_id, neighbor_id,
+                            CAST(row_number() OVER (
+                              PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                            ) AS INT) AS rank,
+                            CAST(floor(cos * 1000000) AS BIGINT) AS cos_q6
+                     FROM d),
+            dall AS (SELECT query_id, neighbor_id, {fixed_cos} AS cos FROM c, q),
+            bf AS (SELECT query_id, neighbor_id
+                   FROM (SELECT query_id, neighbor_id,
+                                row_number() OVER (
+                                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                                ) AS rnk
+                         FROM dall)
+                   WHERE rnk <= 10)
+            SELECT l.query_id, l.neighbor_id, l.rank, l.cos_q6,
+                   (bf.neighbor_id IS NOT NULL) AS in_brute
+            FROM lshr l LEFT JOIN bf
+              ON l.query_id = bf.query_id AND l.neighbor_id = bf.neighbor_id
+            WHERE l.rank <= 10""",
+        "media_features": """
+            WITH p AS (SELECT doc_id, encode(text || text) AS payload FROM documents),
+            h AS (SELECT doc_id, lower(hex(payload)) AS hx,
+                         octet_length(payload) AS n
+                  FROM p),
+            b AS (SELECT doc_id, n, hx,
+                         list_transform(range(1, n + 1),
+                           i -> CAST(concat('0x', substr(hx, 2*i - 1, 2)) AS BIGINT)) AS bl
+                  FROM h)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+                   substr(hx, 1, 16) AS prefix_hex,
+                   CAST(coalesce(list_sum(bl), 0) AS BIGINT) AS byte_sum,
+                   CAST(len(list_distinct(bl)) AS BIGINT) AS n_distinct_bytes
+            FROM b""",
+        "media_frames": """
+            WITH p AS (SELECT doc_id, encode(text || text) AS payload
+                       FROM documents WHERE doc_id % 3 = 2),
+            h AS (SELECT doc_id, lower(hex(payload)) AS hx,
+                         octet_length(payload) AS n
+                  FROM p)
+            SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+                   substr(md5(substr(hx, 20 * t.i + 1, 40)), 1, 16) AS frame_checksum
+            FROM h, range(0, 8) t(i)
+            WHERE t.i < greatest(n // 100, 1)""",
         "ann_topk_quantized": """
             WITH q AS (
               SELECT vec_id AS query_id,
@@ -520,8 +743,110 @@ def oracle_sql() -> dict[str, str]:
               CAST((doc_id * 104729) % 1080 + 1 AS INT) AS height
             FROM documents""",
     }
+    # Canonical-N-Quads oracle: the transcript ontology's blank nodes form an
+    # rdf:first/rest chain with unique first-degree hashes, so URDNA2015
+    # finishes in its first pass — the oracle recomputes each cell's masked
+    # sha256 hash, assigns _:c14nN labels in sorted-hash order, rebuilds the
+    # full escaped N-Quads serialization, sorts it, and hashes the document.
+    canonical_oracle = f"""{_T_CTE},
+        stats AS (
+          SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
+        ),
+        base AS (
+          SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool,
+                 concat('{_CONV}', t.conv_id) AS conv_iri,
+                 concat('{_CONV}', t.conv_id, '/turn/',
+                        CAST(t.turn_idx AS STRING)) AS turn_iri,
+                 strftime(t.ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_str,
+                 s.n_turns
+          FROM transcripts t JOIN stats s ON t.conv_id = s.conv_id
+        ),
+        cells AS (
+          SELECT *,
+            sha256(array_to_string(list_sort([
+              concat('_:a <{_RDF}first> <', turn_iri, '> .', chr(10)),
+              concat('_:a <{_RDF}rest> ',
+                     CASE WHEN turn_idx = n_turns - 1
+                          THEN '<{_RDF}nil>' ELSE '_:z' END,
+                     ' .', chr(10)),
+              CASE WHEN turn_idx = 0
+                   THEN concat('<', conv_iri, '> <{_VOCAB}turns> _:a .', chr(10))
+                   ELSE concat('_:z <{_RDF}rest> _:a .', chr(10)) END
+            ]), '')) AS fdh
+          FROM base
+        ),
+        labeled AS (
+          SELECT *,
+            concat('_:c14n', CAST(row_number() OVER (
+              PARTITION BY conv_id ORDER BY fdh) - 1 AS STRING)) AS cell
+          FROM cells
+        ),
+        chained AS (
+          SELECT *, lead(cell) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx) AS next_cell
+          FROM labeled
+        ),
+        lines AS (
+          SELECT conv_id, concat('<', conv_iri,
+            '> <{_RDF}type> <{_VOCAB}Conversation> .') AS line
+          FROM chained WHERE turn_idx = 0
+          UNION ALL
+          SELECT conv_id, concat('<', conv_iri, '> <{_VOCAB}turns> ', cell, ' .')
+          FROM chained WHERE turn_idx = 0
+          UNION ALL
+          SELECT conv_id, concat(cell, ' <{_RDF}first> <', turn_iri, '> .')
+          FROM chained
+          UNION ALL
+          SELECT conv_id, concat(cell, ' <{_RDF}rest> ',
+            CASE WHEN turn_idx = n_turns - 1 THEN '<{_RDF}nil>' ELSE next_cell END,
+            ' .')
+          FROM chained
+          UNION ALL
+          SELECT conv_id, concat('<', turn_iri, '> <{_RDF}type> <{_VOCAB}Turn> .')
+          FROM chained
+          UNION ALL
+          SELECT conv_id, concat('<', turn_iri, '> <{_VOCAB}turnIndex> "',
+            CAST(turn_idx AS STRING), '"^^<{_XSD}integer> .')
+          FROM chained
+          UNION ALL
+          SELECT conv_id, concat('<', turn_iri, '> <{_VOCAB}role> "',
+            {esc_nq('role')}, '" .')
+          FROM chained
+          UNION ALL
+          SELECT conv_id, concat('<', turn_iri, '> <{_VOCAB}text> "',
+            {esc_nq('text')}, '" .')
+          FROM chained
+          UNION ALL
+          SELECT conv_id, concat('<', turn_iri, '> <{_VOCAB}tool> "',
+            {esc_nq('tool')}, '" .')
+          FROM chained WHERE tool IS NOT NULL
+          UNION ALL
+          SELECT conv_id, concat('<', turn_iri, '> <{_VOCAB}ts> "', ts_str,
+            '"^^<{_XSD}dateTime> .')
+          FROM chained
+        )
+        SELECT l.conv_id AS doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(s.n_turns AS BIGINT) AS n_labels,
+               sha256(string_agg(concat(line, chr(10)), '' ORDER BY line))
+                 AS nquads_sha256
+        FROM lines l JOIN stats s ON l.conv_id = s.conv_id
+        GROUP BY l.conv_id, s.n_turns"""
     return {
         **extras,
+        "framed_conversations": f"""{_T_CTE}
+            SELECT conv_id AS doc_id, 'Conversation' AS matched_type,
+                   CAST(count(*) AS BIGINT) AS n_embedded_turns,
+                   md5(string_agg(concat('{_CONV}', conv_id, '/turn/',
+                                         CAST(turn_idx AS STRING)),
+                                  ',' ORDER BY turn_idx)) AS turns_md5
+            FROM transcripts GROUP BY conv_id""",
+        "canonical_nquads": canonical_oracle,
+        "compact_corpus": f"""{_T_CTE}
+            SELECT conv_id AS doc_id, CAST(count(*) AS BIGINT) AS n_items,
+                   md5(string_agg(CAST(turn_idx AS STRING),
+                                  ',' ORDER BY turn_idx)) AS idx_md5,
+                   md5(string_agg(role, ',' ORDER BY turn_idx)) AS who_md5
+            FROM transcripts GROUP BY conv_id""",
         "list_chain_lengths": f"""{_T_CTE}
             SELECT conv_id AS doc_id,
                    concat('_:d', substr(sha256(conv_id), 1, 16), '_b0') AS head,

@@ -169,12 +169,101 @@ def minhash_dedup_pairs(
             lambda eq: eq,
         )
     ) / F.lit(num_hashes)
+    # signature join: the signatures side is |corpus|-sized, so it must NOT
+    # be broadcast at scale — shuffle-join on doc id (AQE may still pick a
+    # broadcast at small SF from its own size estimate, which is correct)
     return (
-        cands.join(F.broadcast(sa) if False else sa, "doc_a")
+        cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_signatures_md5(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(doc_id, sig array<string>): portable MinHash basis.
+
+    Permutation i = md5(i || ':' || shingle); the signature entry is the
+    lexicographic minimum hex digest (the min of a uniform hash is a valid
+    permutation minimum regardless of representation). This is the
+    oracle-checkable variant — md5 exists in every engine; the xxhash64
+    basis (:func:`minhash_signatures`) stays the production scale path
+    (8-byte entries instead of 32-char strings).
+    """
+    shingles = shingle_expr(text_col, k)
+
+    def _perm_hash(i):
+        # closure factory — a 2-arg lambda would be given (element, index)
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_hashes)]
+    )
+    return documents.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_dedup_pairs_md5(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Oracle-checkable MinHash pipeline: md5 signatures → md5-bucket LSH
+    candidates → verify by signature agreement count.
+
+    Same plan shape as :func:`minhash_dedup_pairs` (banded bucket join —
+    linear in corpus size, never all-pairs) but every hash is replayable in
+    ANSI-ish SQL. Emits integer ``n_agree`` (not a rounded ratio) so the
+    comparison is bit-exact across engines.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_md5(documents, text_col, id_col, k, num_hashes)
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(
+                        "|",
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    ))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("bigint")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") >= F.lit(threshold * num_hashes))
+        .select("doc_a", "doc_b", "n_agree")
     )
 
 
@@ -211,6 +300,93 @@ def simhash_signatures(
     return documents.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _hamming_block_offsets(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, length) per pigeonhole block — shared by the long and the
+    bit-string signature variants so both block identically."""
+    base, extra = divmod(n_bits, n_blocks)
+    offsets, off = [], 0
+    for i in range(n_blocks):
+        ln = base + (1 if i < extra else 0)
+        offsets.append((off, ln))
+        off += ln
+    return offsets
+
+
+def simhash_signatures_md5(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simbits string): portable 64-bit SimHash as a '0'/'1' string.
+
+    Token hash bits come from the md5 hex digest (bit j = bit j%4 of hex
+    digit j//4), so any engine with md5 can replay the signature exactly.
+    The xxhash64-long basis (:func:`simhash_signatures`) remains the scale
+    path; this variant exists for the DuckDB-certified gate query.
+    """
+    tokens = F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+    md5s = F.transform(tokens, lambda t: F.md5(t))
+
+    def _bits_pm1(h):
+        # ±1 per bit position for one token hash
+        def bit(j):
+            digit = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+            return F.when(
+                F.shiftright(digit, j % 4).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.array(*[bit(j) for j in range(64)])
+
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    sums = F.aggregate(
+        md5s, zeros, lambda acc, h: F.zip_with(acc, _bits_pm1(h), lambda a, b: a + b)
+    )
+    with_sums = documents.select(F.col(id_col), sums.alias("_sums"))
+    bits = F.concat(
+        *[
+            F.when(F.col("_sums")[j] > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(64)
+        ]
+    )
+    return with_sums.select(F.col(id_col), bits.alias("simbits"))
+
+
+def simhash_near_pairs_md5(
+    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs over bit-string SimHash signatures (same
+    pigeonhole block join as :func:`simhash_near_pairs`; hamming distance =
+    count of differing positions, an integer — bit-exact across engines)."""
+    offsets = _hamming_block_offsets(64, max_hamming + 1)
+    blocks = F.array(
+        *[F.substring(F.col("simbits"), o + 1, ln) for o, ln in offsets]
+    )
+    blocked = signatures.select(
+        F.col(id_col).alias("doc"), F.col("simbits"),
+        F.posexplode(blocks).alias("block_idx", "block_val"),
+    )
+    a = blocked.select(
+        F.col("doc").alias("doc_a"), F.col("simbits").alias("sim_a"),
+        "block_idx", "block_val",
+    )
+    b = blocked.select(
+        F.col("doc").alias("doc_b"), F.col("simbits").alias("sim_b"),
+        "block_idx", "block_val",
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+        "CASE WHEN substring(sim_a, i, 1) = substring(sim_b, i, 1) "
+        "THEN 0 ELSE 1 END)"
+    ).cast("bigint")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
 ) -> DataFrame:
@@ -220,13 +396,7 @@ def simhash_near_pairs(
     by pigeonhole, any pair within the distance budget shares at least one
     exact block, so the join is on (block_idx, block_value), never all-pairs.
     """
-    n_blocks = max_hamming + 1
-    base, extra = divmod(64, n_blocks)
-    offsets, off = [], 0
-    for i in range(n_blocks):
-        ln = base + (1 if i < extra else 0)
-        offsets.append((off, ln))
-        off += ln
+    offsets = _hamming_block_offsets(64, max_hamming + 1)
     blocks = F.array(
         *[
             F.shiftright(F.col("simhash"), o).bitwiseAND(F.lit((1 << ln) - 1))

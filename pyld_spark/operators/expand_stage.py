@@ -186,6 +186,31 @@ def docs_to_canonical_nquads(
     return docs.mapInPandas(run, NQUADS_SCHEMA)
 
 
+def canonical_nquads_stats(canonical: DataFrame) -> DataFrame:
+    """(doc_id, nquads) → (doc_id, n_lines, n_labels, nquads_sha256).
+
+    Pure JVM projection over the canonicalization output. The emitted
+    columns are SQL-reconstructable: for the transcript ontology every doc's
+    blank nodes are an rdf:first/rest chain whose URDNA2015 labels finish in
+    the first-degree-hash pass, so a SQL oracle can recompute the per-cell
+    sha256 hashes, the sorted-hash label assignment, and the full sorted
+    canonical N-Quads text — certifying the c14n engine end to end.
+    """
+    n_lines = (
+        F.length("nquads")
+        - F.length(F.replace(F.col("nquads"), F.lit("\n"), F.lit("")))
+    ).cast("bigint")
+    n_labels = F.size(
+        F.array_distinct(F.expr("regexp_extract_all(nquads, '_:c14n[0-9]+', 0)"))
+    ).cast("bigint")
+    return canonical.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_labels.alias("n_labels"),
+        F.sha2(F.col("nquads"), 256).alias("nquads_sha256"),
+    )
+
+
 def split_quarantine(combined: DataFrame):
     """Combined stage output → (good rows without error_code, quarantine)."""
     good = combined.filter(F.col("error_code").isNull()).drop("error_code")

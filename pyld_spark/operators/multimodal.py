@@ -67,35 +67,41 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("prefix_hex", StringType(), False),
-        StructField("byte_entropy_q", LongType(), False),
+        StructField("byte_sum", LongType(), False),
+        StructField("n_distinct_bytes", LongType(), False),
     ]
 )
 
 
 def extract_binary_features(media: DataFrame) -> DataFrame:
     """Vectorized feature extraction over binary payloads (real code, no
-    codecs): size, 8-byte prefix, quantized byte entropy. Narrow mapInPandas
-    — the pattern any real decode stage would use."""
+    codecs): size, 8-byte prefix, byte-value sum, distinct-byte count — all
+    integer/hex statistics so a SQL oracle can replay them. Per blob the
+    work is ``np.frombuffer`` + ``np.bincount`` (no Python byte loop — this
+    stand-in measures the throughput shape a real decode stage would have).
+    Narrow mapInPandas, pipelined with the scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
 
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                counts = [0] * 256
-                for byte in b:
-                    counts[byte] += 1
-                n = len(b) or 1
-                ent = -sum(
-                    (c / n) * math.log2(c / n) for c in counts if c
-                )
-                rows.append(
-                    (int(doc_id), len(b), b[:8].hex(), int(round(ent * 1000)))
-                )
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+            counts = [np.bincount(a, minlength=256) for a in arrs]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "prefix_hex", "byte_entropy_q"]
+                {
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "n_bytes": np.array([a.size for a in arrs], dtype="int64"),
+                    "prefix_hex": [p[:8].hex() for p in payloads],
+                    "byte_sum": np.array(
+                        [int(a.sum(dtype=np.int64)) for a in arrs], dtype="int64"
+                    ),
+                    "n_distinct_bytes": np.array(
+                        [int((c > 0).sum()) for c in counts], dtype="int64"
+                    ),
+                }
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
@@ -137,7 +143,11 @@ def decode_image_stub(media: DataFrame, target_size: tuple[int, int] = (224, 224
                         "this container; pass fake=True for the deterministic "
                         "test double"
                     )
-                digest = hashlib.sha1(bytes(payload or b"")).hexdigest()
+                # md5 over the hex rendering: replayable in SQL (md5 of a
+                # BLOB isn't portable; md5 of its hex string is)
+                digest = hashlib.md5(
+                    bytes(payload or b"").hex().encode("ascii")
+                ).hexdigest()
                 rows.append((int(doc_id), digest, min(tw, int(w)), min(th, int(h))))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "pixels_checksum", "out_width", "out_height"]
@@ -178,7 +188,8 @@ def sample_frames_stub(media: DataFrame, every_n: int = 10, fake: bool = False) 
                 for i in range(min(n_frames, 8)):
                     chunk = b[i * every_n: (i + 1) * every_n + 10]
                     rows.append(
-                        (int(doc_id), i, hashlib.sha1(chunk).hexdigest()[:16])
+                        (int(doc_id), i,
+                         hashlib.md5(chunk.hex().encode("ascii")).hexdigest()[:16])
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_checksum"])
 

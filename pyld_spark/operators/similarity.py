@@ -1,16 +1,25 @@
 """Similarity search over the ``embeddings`` table (training-data extras).
 
 - :func:`brute_force_topk` — exact cosine top-k: cross join bounded by
-  broadcast of the (small) query side, `zip_with` dot products JVM-side,
-  per-query `row_number` window. The baseline any ANN variant is measured
-  against.
+  broadcast of the (small) query side, `zip_with` dot products JVM-side.
+  The baseline any ANN variant is measured against.
 - :func:`quantized_dot_topk` — same shape but on integer-quantized vectors:
   bit-exact across engines (the DuckDB oracle replays it), deterministic
   tie-breaks.
+- :func:`fixedpoint_cosine_topk` — cosine on quantized vectors with integer
+  norms: dot/norms are exact integers, the final cosine is one IEEE-754
+  double expression (bit-identical in any engine), emitted floor-scaled to a
+  bigint so the oracle comparison never touches float rounding rules.
 - :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH buckets
   (sign of dot with deterministic hash-derived hyperplanes) shrink the
   candidate set from |corpus| to a bucket; at 100 TB the bucket join
   replaces the cross join.
+
+All rankings run through :func:`_two_phase_topk`: a per-partition partial
+top-k (map-side, bounded arrays) feeds a per-query final selection, so no
+single reducer ever receives more than k × n_partitions rows per query —
+the naive ``row_number() OVER (PARTITION BY query_id)`` window would send
+every candidate row for a query to one task.
 """
 
 from __future__ import annotations
@@ -33,6 +42,57 @@ def _norm(a):
     )
 
 
+def _two_phase_topk(
+    scored: DataFrame,
+    query_id_col: str,
+    k: int,
+    score_col: str,
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Top-k rows per query by (score DESC, id ASC), two-phase.
+
+    Phase 1: groupBy (physical partition, query) keeps only k rows per group
+    (map-side complete — the shuffle carries k-length arrays, not candidates).
+    Phase 2: a window over the ≤ k × n_partitions survivors per query ranks
+    the true top-k. Results are identical to the single-window form.
+    """
+    keep = [c for c in scored.columns if c not in (query_id_col, score_col, id_col)]
+    partial = (
+        scored.groupBy(F.spark_partition_id().alias("_p"), query_id_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col(score_col)).alias("_neg_score"),
+                            F.col(id_col).alias(id_col),
+                            F.col(score_col).alias(score_col),
+                            *[F.col(c).alias(c) for c in keep],
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select(query_id_col, F.explode("_top").alias("_t"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc(F.col("_t._neg_score")), F.asc(F.col("_t." + id_col))
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("_t." + id_col).alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_t." + score_col).alias(score_col),
+            *[F.col("_t." + c).alias(c) for c in keep],
+        )
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -44,31 +104,26 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for each query vector.
 
     The query side is broadcast (small); the corpus side streams — no
-    shuffle of the big table, one window per query partition.
+    shuffle of the big table; ranking is two-phase partial top-k.
     """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cvec"),
     )
-    qd = q.select(
+    qd = queries.select(
         query_id_col,
-        F.transform(F.col("_qvec"), lambda x: x.cast("double")).alias("_qvec"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
     )
-    joined = c.crossJoin(F.broadcast(qd))
     cos = _dot(F.col("_cvec"), F.col("_qvec")) / (
         _norm(F.col("_cvec")) * _norm(F.col("_qvec"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    scored = (
+        c.crossJoin(F.broadcast(qd))
+        .select(query_id_col, "neighbor_id", cos.alias("cosine"))
     )
-    return (
-        joined.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    out = _two_phase_topk(scored, query_id_col, k, "cosine")
+    return out.select(
+        query_id_col, "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
     )
 
 
@@ -101,13 +156,128 @@ def quantized_dot_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
+    scored = (
         c.crossJoin(F.broadcast(q))
-        .withColumn("dot", dot)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"), "dot")
+        .select(query_id_col, "neighbor_id", dot.alias("dot"))
+    )
+    return _two_phase_topk(scored, query_id_col, k, "dot")
+
+
+def fixedpoint_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Cosine top-k on quantized vectors, engine-portable.
+
+    dot and squared norms are exact bigints; cosine = dot / sqrt(na·nb) is a
+    single IEEE-754 double expression (division and sqrt are correctly
+    rounded, so any engine computes the identical bits); the emitted
+    ``cos_q6`` = floor(cosine·10⁶) is an integer — no float rounding-rule
+    dependence in the comparison. Returns (query_id, neighbor_id, rank,
+    cos_q6)."""
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize_expr(F.col(vec_col), scale).alias("_cq")
+    )
+    q = queries.select(
+        F.col(query_id_col), quantize_expr(F.col(vec_col), scale).alias("_qq")
+    )
+    lsum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, v: a + v)  # noqa: E731
+    dot = lsum(F.zip_with(F.col("_cq"), F.col("_qq"), lambda x, y: x * y))
+    na = lsum(F.transform(F.col("_cq"), lambda x: x * x))
+    nb = lsum(F.transform(F.col("_qq"), lambda x: x * x))
+    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(query_id_col, "neighbor_id", cos.alias("cosine"))
+    )
+    out = _two_phase_topk(scored, query_id_col, k, "cosine")
+    return out.select(
+        query_id_col, "neighbor_id", "rank",
+        F.floor(F.col("cosine") * 1000000).cast("bigint").alias("cos_q6"),
+    )
+
+
+def hyperplane_expr_md5(dim: int, plane_idx: int, scale: int = 1000):
+    """Integer hyperplane with a portable hash basis: component j of plane i
+    = (first-8-hex-chars of md5('i:j') as int) mod (2·scale+1) − scale.
+    Integer components × quantized vectors ⇒ the bucket sign decision is an
+    exact integer comparison — replayable in any engine, no float ULP risk."""
+    return F.array(
+        *[
+            F.lit(
+                # hash is deterministic: precompute driver-side, embed as
+                # literals (cheaper than per-row md5 of constants; identical
+                # to the SQL form the oracle uses)
+                _md5_int(f"{plane_idx}:{j}") % (2 * scale + 1) - scale
+            )
+            for j in range(dim)
+        ]
+    )
+
+
+def _md5_int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("ascii")).hexdigest()[:8], 16)
+
+
+def lsh_bucketed_topk_fixedpoint(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    scale: int = 1000,
+) -> DataFrame:
+    """Oracle-checkable ANN: random-hyperplane buckets over *quantized*
+    vectors (integer sign decisions — exact in every engine), candidates
+    ranked by fixed-point cosine. The bucket join replaces the cross join;
+    at 100 TB cost is |corpus| + per-bucket candidates, never all-pairs.
+    Returns (query_id, neighbor_id, rank, cos_q6)."""
+
+    def signature(qvec):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(qvec, hyperplane_expr_md5(dim, i, scale),
+                               lambda x, h: x * h),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for i in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_expr(F.col(vec_col), scale).alias("_cq"),
+    ).withColumn("bucket", signature(F.col("_cq")))
+    q = queries.select(
+        F.col(query_id_col), quantize_expr(F.col(vec_col), scale).alias("_qq")
+    ).withColumn("bucket", signature(F.col("_qq")))
+    lsum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, v: a + v)  # noqa: E731
+    dot = lsum(F.zip_with(F.col("_cq"), F.col("_qq"), lambda x, y: x * y))
+    na = lsum(F.transform(F.col("_cq"), lambda x: x * x))
+    nb = lsum(F.transform(F.col("_qq"), lambda x: x * x))
+    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .select(query_id_col, "neighbor_id", cos.alias("cosine"))
+    )
+    out = _two_phase_topk(scored, query_id_col, k, "cosine")
+    return out.select(
+        query_id_col, "neighbor_id", "rank",
+        F.floor(F.col("cosine") * 1000000).cast("bigint").alias("cos_q6"),
     )
 
 
@@ -125,6 +295,7 @@ def hyperplane_expr(dim: int, plane_idx: int, scale: int = 1000):
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
+    dim: int,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -132,9 +303,9 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
 ) -> DataFrame:
     """ANN top-k: random-hyperplane signature buckets, join on bucket, rank
-    within candidates. Recall < 1 by design; measured against
-    :func:`brute_force_topk` in tests."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    within candidates (two-phase). ``dim`` is a parameter — reading it from
+    the data would fire a driver-side job during plan construction. Recall
+    < 1 by design; measured against :func:`brute_force_topk` in tests."""
 
     def signature(vec):
         sig = F.lit(0).cast("long")
@@ -151,14 +322,14 @@ def lsh_bucketed_topk(
         F.col(query_id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
     ).withColumn("bucket", signature(F.col("_qvec")))
-    joined = c.join(F.broadcast(q), "bucket")
     cos = _dot(F.col("_cvec"), F.col("_qvec")) / (
         _norm(F.col("_cvec")) * _norm(F.col("_qvec"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .select(query_id_col, "neighbor_id", cos.alias("cosine"))
+    )
+    out = _two_phase_topk(scored, query_id_col, k, "cosine")
+    return out.select(
+        query_id_col, "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
     )

@@ -81,7 +81,7 @@ def test_similarity_topk(spark):
     assert all(bf[i].cosine >= bf[i + 1].cosine for i in range(len(bf) - 1))
     qd = quantized_dot_topk(embs, queries, k=5).collect()
     assert [r.neighbor_id for r in qd][0] == 0
-    lsh = lsh_bucketed_topk(embs, queries, k=5, n_planes=4).collect()
+    lsh = lsh_bucketed_topk(embs, queries, dim=4, k=5, n_planes=4).collect()
     assert lsh and lsh[0].neighbor_id == 0  # self always shares its bucket
 
 

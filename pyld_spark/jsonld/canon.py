@@ -107,15 +107,23 @@ class URDNA2015:
             terms.append({"type": "blank node", "value": graph})
         return terms
 
-    @staticmethod
-    def _relabel_quad(quad, mapping: dict):
+    @classmethod
+    def _relabel_quad(cls, quad, mapping: dict):
+        # reference parity (canon.py:153-166 step 7.1): labels already
+        # carrying the canonical prefix are left unchanged — re-normalizing
+        # an already-canonical dataset is label-stable
+        def relabel(v: str) -> str:
+            if v.startswith("_:c14n"):
+                return v
+            return mapping.get(v, v)
+
         subj, pred, obj, graph = quad
         if subj["type"] == "blank node":
-            subj = {"type": "blank node", "value": mapping.get(subj["value"], subj["value"])}
+            subj = {"type": "blank node", "value": relabel(subj["value"])}
         if obj["type"] == "blank node":
-            obj = dict(obj, value=mapping.get(obj["value"], obj["value"]))
+            obj = dict(obj, value=relabel(obj["value"]))
         if isinstance(graph, str) and graph.startswith("_:"):
-            graph = mapping.get(graph, graph)
+            graph = relabel(graph)
         return subj, pred, obj, graph
 
     def _hash(self, data: str) -> str:

@@ -178,7 +178,10 @@ def process_context(
     items = local if isinstance(local, list) else [local]
     for context in items:
         if context is None:
-            if not override_protected and active.has_protected_terms():
+            # reference checks the context built SO FAR (jsonld.py:3267-3276):
+            # a protected term defined earlier in the same context array also
+            # blocks nullification
+            if not override_protected and result.has_protected_terms():
                 raise JsonLdError(
                     "tried to nullify a context with protected terms",
                     "invalid context nullification",
@@ -194,7 +197,10 @@ def process_context(
         if isinstance(context, str):
             url = resolve_iri(base_url, context)
             if url in remote_contexts:
-                raise JsonLdError(f"cyclic context: {url}", "recursive context inclusion")
+                # reference parity: cyclic inclusion reports the 1.1 code
+                # "context overflow" (the 1.0-era "recursive context
+                # inclusion" code is gone from the modern processor)
+                raise JsonLdError(f"cyclic context: {url}", "context overflow")
             if len(remote_contexts) >= MAX_CONTEXT_URLS:
                 raise JsonLdError("too many remote contexts", "context overflow")
             remote_contexts.append(url)

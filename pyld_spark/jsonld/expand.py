@@ -385,9 +385,14 @@ def _expand_keyword(
         if active_ctx.processing_mode == "json-ld-1.0":
             _dropped(st, key)
             return
-        included = [
-            v for v in arrayify(_expand(st, active_ctx, None, value, base_url)) if v is not None
-        ]
+        # reference jsonld.py:2430-2449: the all-nodes check runs BEFORE any
+        # None filtering — a dropped value (e.g. a value object) is an error
+        expanded_included = _expand(st, active_ctx, active_property, value, base_url)
+        included = (
+            expanded_included
+            if isinstance(expanded_included, list)
+            else [expanded_included]
+        )
         if not all(is_node_object(v) for v in included):
             raise JsonLdError("@included values must be nodes", "invalid @included value")
         result.setdefault("@included", []).extend(included)

@@ -256,7 +256,18 @@ def _remove_embed(state: FrameState, id_: str) -> None:
     remove_dependents(id_)
 
 
-def match_frame(state: FrameState, subjects: list, frame, parent, property) -> None:
+def _implicit_frame(flags: dict) -> list:
+    """Wildcard child frame that carries the parent frame's flags
+    (reference _create_implicit_frame, jsonld.py:4609-4623)."""
+    return [{"@" + key: [value] for key, value in flags.items()}]
+
+
+def _is_subject_reference(v) -> bool:
+    return isinstance(v, dict) and set(v) == {"@id"}
+
+
+def match_frame(state: FrameState, subjects: list, frame, parent, property,
+                embedded: bool = False) -> None:
     frame_obj = {}
     if isinstance(frame, list):
         if frame and isinstance(frame[0], dict):
@@ -274,6 +285,12 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property) -> N
     for id_ in sorted(matches):
         subject = matches[id_]
         embed = flags["embed"]
+        # each top-level match is a compartmentalized result: reset the
+        # unique-embeds map (reference jsonld.py:4370-4376)
+        if property is None:
+            state.unique_embeds = {state.graph: {}}
+        else:
+            state.unique_embeds.setdefault(state.graph, {})
         output = {"@id": id_}
         if id_.startswith("_:"):
             state.bnodes_to_clear.discard(id_)
@@ -284,43 +301,66 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property) -> N
 
         state.link[id_] = output
 
-        if embed == "@never" or _creates_circular_reference(state, id_):
+        if embed in ("@first", "@last") and options.get(
+            "processingMode", "json-ld-1.1"
+        ) != "json-ld-1.0":
+            raise JsonLdError(
+                f"invalid value of @embed: {embed}", "invalid @embed value"
+            )
+
+        # node already embedded inside another top-level node: skip the
+        # top-level copy (reference jsonld.py:4407-4410)
+        if not embedded and id_ in state.unique_embeds[state.graph]:
+            continue
+
+        # only an *embedded* (non-top-level) occurrence degrades to a
+        # reference under @never / circularity / repeated-@once
+        if embedded and (
+            embed == "@never" or _creates_circular_reference(state, id_)
+        ):
             add_frame_output(parent, property, output)
             continue
-        if embed == "@once" and id_ in state.unique_embeds[state.graph]:
+        if embedded and embed in ("@first", "@once") and (
+            id_ in state.unique_embeds[state.graph]
+        ):
             add_frame_output(parent, property, output)
             continue
-        if embed in ("@last", "@always"):
-            if id_ in state.unique_embeds[state.graph] and embed == "@last":
-                _remove_embed(state, id_)
-        if embed in ("@once", "@last", "@first"):
-            state.unique_embeds[state.graph][id_] = {
-                "parent": parent, "property": property,
-            }
-            if embed == "@first" and id_ in state.link and state.link[id_] is not output:
-                pass
+        if embed == "@last" and id_ in state.unique_embeds[state.graph]:
+            _remove_embed(state, id_)
+        state.unique_embeds[state.graph][id_] = {
+            "parent": parent, "property": property,
+        }
 
         state.subject_stack.append(subject)
 
-        # named graph recursion
-        if id_ in state.graph_map and id_ != state.graph:
-            recurse, subframe = False, None
-            if "@graph" in frame_obj:
-                subframe = frame_obj["@graph"]
-                recurse = not (id_ == "@merged" or id_ == "@default")
-                if not isinstance(subframe, list):
-                    subframe = [subframe]
+        # named graph recursion (embedded resets — graph content is framed
+        # from its own top level)
+        if id_ in state.graph_map:
+            recurse, subframe = False, [{}]
+            if "@graph" not in frame_obj:
+                recurse = state.graph != "@merged"
             else:
-                subframe = [{}]
+                sf = frame_obj["@graph"]
+                subframe = sf if isinstance(sf, list) else [sf]
+                if not (subframe and isinstance(subframe[0], dict)):
+                    subframe = [{}]
                 recurse = id_ not in ("@merged", "@default")
             if recurse:
                 state.graph_stack.append(state.graph)
                 state.graph = id_
                 state.unique_embeds.setdefault(id_, {})
                 match_frame(
-                    state, sorted(state.subjects), subframe, output, "@graph"
+                    state, sorted(state.subjects), subframe, output, "@graph",
+                    embedded=False,
                 )
                 state.graph = state.graph_stack.pop()
+
+        # @included subframe recursion
+        if "@included" in frame_obj:
+            match_frame(
+                state, subjects, frame_obj["@included"], output, "@included",
+                embedded=False,
+            )
 
         for prop in sorted(subject):
             values = subject[prop]
@@ -343,30 +383,29 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property) -> N
                 elif isinstance(subframe, dict):
                     sub = [subframe]
                 else:
-                    sub = [{}]
+                    sub = _implicit_frame(flags)
                 if is_list_object(item):
-                    list_frame = None
                     sf0 = sub[0] if sub else {}
-                    if isinstance(sf0, dict) and "@list" in sf0:
+                    if prop in frame_obj and isinstance(sf0, dict) and "@list" in sf0:
                         list_frame = sf0["@list"]
-                    list_frame = list_frame or [{}]
+                    else:
+                        list_frame = _implicit_frame(flags)
                     list_output = {"@list": []}
                     for li in item["@list"]:
-                        if isinstance(li, dict) and "@id" in li and len(li) == 1 and (
-                            li["@id"] in state.subjects
-                        ):
+                        if _is_subject_reference(li):
                             match_frame(
-                                state, [li["@id"]], list_frame, list_output, "@list"
+                                state, [li["@id"]], list_frame, list_output,
+                                "@list", embedded=True,
                             )
                         else:
                             add_frame_output(
                                 list_output, "@list", copy.deepcopy(li)
                             )
                     add_frame_output(output, prop, list_output)
-                elif isinstance(item, dict) and "@id" in item and len(item) == 1 and (
-                    item["@id"] in state.subjects
-                ):
-                    match_frame(state, [item["@id"]], sub, output, prop)
+                elif _is_subject_reference(item):
+                    match_frame(
+                        state, [item["@id"]], sub, output, prop, embedded=True
+                    )
                 else:
                     sf0 = sub[0] if sub and isinstance(sub[0], dict) else {}
                     if is_value_object(item) and is_value_object(sf0) and not _value_match(sf0, item):
@@ -405,7 +444,8 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property) -> N
                     rev = output.setdefault("@reverse", {})
                     rev.setdefault(reverse_prop, [])
                     match_frame(
-                        state, [subject_id], subframe, rev[reverse_prop], property
+                        state, [subject_id], subframe, rev[reverse_prop],
+                        property, embedded=True,
                     )
 
         add_frame_output(parent, property, output)

@@ -228,10 +228,13 @@ def from_rdf(
             and not use_rdf_type
             and obj["type"] in ("IRI", "blank node")
         ):
-            add_value(node, "@type", obj["value"], allow_duplicate=False)
+            add_value(node, "@type", obj["value"])
             continue
         value = rdf_to_object(obj, use_native_types, rdf_direction, processing_mode)
-        add_value(node, pred["value"], value, allow_duplicate=False)
+        # duplicates allowed (reference jsonld.py:2964): distinct quads whose
+        # decoded value objects are equal (e.g. "true" and "1" as booleans)
+        # both appear
+        add_value(node, pred["value"], value)
         if obj["type"] in ("IRI", "blank node"):
             oid = obj["value"]
             if oid == RDF_NIL:

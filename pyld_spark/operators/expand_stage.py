@@ -1,5 +1,6 @@
 """Spark stages: JSON-LD documents → expanded form → RDF triples / canonical
-N-Quads, as Arrow-batched ``mapInPandas`` transforms.
+N-Quads, as Arrow-batched transforms (``mapInArrow`` for the fat triples
+stage — no pandas round-trip; ``mapInPandas`` for the thin per-doc outputs).
 
 Scale design (SURVEY.md §3.1):
 - the only shuffle in the whole doc path is the assembly ``groupBy(conv_id)``;
@@ -88,12 +89,6 @@ def _doc_to_quads(doc_json: str, base_url: str | None):
     return to_rdf(expanded)
 
 
-def _term_cols(term: dict):
-    if term["type"] == "literal":
-        return "literal", term["value"], term.get("datatype"), term.get("language")
-    return term["type"], term["value"], None, None
-
-
 def docs_to_triples(
     docs: DataFrame,
     id_col: str = "conv_id",
@@ -103,25 +98,47 @@ def docs_to_triples(
 ) -> DataFrame:
     """(doc_id, doc json) → flat triples table (+ quarantine rows).
 
-    Narrow mapInPandas — scales linearly with input partitions; no shuffle.
+    Narrow ``mapInArrow`` — scales linearly with input partitions; no
+    shuffle, and no pandas round-trip: input strings come straight off the
+    Arrow batch (``to_pylist``) and output columns are built as plain Python
+    lists converted once to Arrow arrays. On the 2M-turn scaling corpus the
+    pandas conversion both ways was the largest non-kernel cost of the
+    stage (JVM→Python transport share), so this is the scale path.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches) -> Iterator:
+        import pyarrow as pa
+
         from pyld_spark.jsonld.errors import JsonLdError
 
-        for pdf in batches:
-            rows = []
-            for doc_id, doc_json in zip(pdf[id_col], pdf[doc_col]):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            djs = batch.column(batch.schema.get_field_index(doc_col)).to_pylist()
+            c_doc: list = []
+            c_subj: list = []
+            c_pred: list = []
+            c_okind: list = []
+            c_oval: list = []
+            c_odt: list = []
+            c_olang: list = []
+            c_graph: list = []
+            c_err: list = []
+            for doc_id, doc_json in zip(ids, djs):
                 try:
                     quads = _doc_to_quads(doc_json, base_url)
                 except JsonLdError as e:
-                    rows.append((doc_id, None, None, None, None, None, None, None, e.code))
+                    c_doc.append(doc_id)
+                    for col in (c_subj, c_pred, c_okind, c_oval, c_odt,
+                                c_olang, c_graph):
+                        col.append(None)
+                    c_err.append(e.code)
                     continue
                 except Exception as e:  # noqa: BLE001 — quarantine, never crash
-                    rows.append(
-                        (doc_id, None, None, None, None, None, None, None,
-                         f"internal error: {type(e).__name__}")
-                    )
+                    c_doc.append(doc_id)
+                    for col in (c_subj, c_pred, c_okind, c_oval, c_odt,
+                                c_olang, c_graph):
+                        col.append(None)
+                    c_err.append(f"internal error: {type(e).__name__}")
                     continue
                 ns = _doc_bnode_namespace(doc_id) if namespace_bnodes else None
 
@@ -131,26 +148,38 @@ def docs_to_triples(
                     return v
 
                 for subj, pred, obj, graph in quads:
-                    sk, sv, _, _ = _term_cols(subj)
-                    pk, pv, _, _ = _term_cols(pred)
-                    ok, ov, odt, olang = _term_cols(obj)
-                    if sk == "blank node":
+                    sv = subj["value"]
+                    if subj["type"] == "blank node":
                         sv = fix(sv)
-                    if pk == "blank node":
+                    pv = pred["value"]
+                    if pred["type"] == "blank node":
                         pv = fix(pv)
-                    if ok == "blank node":
-                        ov = fix(ov)
-                    g = graph if graph == "@default" else fix(graph)
-                    rows.append((doc_id, sv, pv, ok, ov, odt, olang, g, None))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "subj", "pred", "obj_kind", "obj_value",
-                    "obj_datatype", "obj_language", "graph", "error_code",
+                    ok = obj["type"]
+                    if ok == "literal":
+                        c_odt.append(obj.get("datatype"))
+                        c_olang.append(obj.get("language"))
+                        c_oval.append(obj["value"])
+                    else:
+                        c_odt.append(None)
+                        c_olang.append(None)
+                        c_oval.append(fix(obj["value"]) if ok == "blank node"
+                                      else obj["value"])
+                    c_doc.append(doc_id)
+                    c_subj.append(sv)
+                    c_pred.append(pv)
+                    c_okind.append(ok)
+                    c_graph.append(graph if graph == "@default" else fix(graph))
+                    c_err.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c, type=pa.string())
+                    for c in (c_doc, c_subj, c_pred, c_okind, c_oval,
+                              c_odt, c_olang, c_graph, c_err)
                 ],
+                names=[f.name for f in TRIPLE_SCHEMA.fields],
             )
 
-    return docs.mapInPandas(run, TRIPLE_SCHEMA)
+    return docs.mapInArrow(run, TRIPLE_SCHEMA)
 
 
 def docs_to_canonical_nquads(

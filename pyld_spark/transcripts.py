@@ -160,6 +160,34 @@ def synthesize_transcripts(
     )
 
 
+def write_bucketed_transcripts(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    table: str = "transcripts_bucketed",
+    buckets: int = 64,
+) -> DataFrame:
+    """Materialize transcripts bucketed+sorted by conv_id and return the
+    bucketed table.
+
+    This is the production layout (the 10^12-turn Iceberg table would be
+    bucketed by conv key at write time): ``groupBy(conv_id)`` on the
+    returned table satisfies its clustering from the scan, so document
+    assembly runs with **no exchange** — the only shuffle in the whole
+    doc→triples path disappears.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def conv_iri(conv_id_col):
     return F.concat(F.lit(CONV_BASE), conv_id_col)
 

@@ -1,0 +1,247 @@
+"""Conformance harness: runs the reconstructed json-ld.org-style manifests
+through BOTH processors and scores agreement with the reference's own
+comparison semantics (/root/reference/tests/runtests.py):
+
+- ToRDF / normalize tests: each processor's N-Quads output is normalized by
+  that same processor (URGNA2012, runtests.py:455-476) and compared as a
+  quad SET — scored with per-quad precision/recall (TP = quads both emit).
+- expand/compact/flatten/frame/fromRdf: order-independent JSON equality
+  (runtests.py:478-483) — scored as whole-test agreement.
+- negative tests: the raised JSON-LD error codes must match
+  (runtests.py:500-516).
+
+The actual suite files are not vendored in this sandbox (the reference's
+``specifications/`` submodules are empty), so the manifests under
+``tests/conformance/`` are reconstructions targeting the suite's documented
+tricky areas; expecteds are computed from the reference processor at run
+time, which is exactly the metric BASELINE.md defines (P/R vs pyld).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+from dataclasses import dataclass, field
+
+MANIFEST_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conformance")
+
+_NORM_OPTS = {
+    "algorithm": "URGNA2012",
+    "inputFormat": "application/n-quads",
+    "format": "application/n-quads",
+}
+
+
+def equal_unordered(a, b) -> bool:
+    if isinstance(a, dict) and isinstance(b, dict):
+        return set(a) == set(b) and all(equal_unordered(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            return False
+        unmatched = list(b)
+        for x in a:
+            for i, y in enumerate(unmatched):
+                if equal_unordered(x, y):
+                    unmatched.pop(i)
+                    break
+            else:
+                return False
+        return True
+    return a == b and type(a) == type(b)  # noqa: E721 (bool vs int matters)
+
+
+def load_manifest(name: str) -> list[dict]:
+    with open(os.path.join(MANIFEST_DIR, f"{name}.json")) as f:
+        return json.load(f)["tests"]
+
+
+def _ref_loader(contexts: dict):
+    def loader(url, options=None):
+        if url not in contexts:
+            raise Exception(f"loading document failed: {url}")
+        return {
+            "contextUrl": None,
+            "document": copy.deepcopy(contexts[url]),
+            "documentUrl": url,
+        }
+
+    return loader
+
+
+def _ref_error_code(err) -> str | None:
+    code = getattr(err, "code", None)
+    if code:
+        return code
+    cause = getattr(err, "__cause__", None) or getattr(err, "cause", None)
+    if cause is not None and cause is not err:
+        return _ref_error_code(cause)
+    details = getattr(err, "details", None)
+    if isinstance(details, dict) and details.get("cause") is not None:
+        return _ref_error_code(details["cause"])
+    return None
+
+
+@dataclass
+class Score:
+    """Per-manifest agreement accounting."""
+
+    tests_total: int = 0
+    tests_agree: int = 0
+    quads_tp: int = 0
+    quads_fp: int = 0
+    quads_fn: int = 0
+    disagreements: list = field(default_factory=list)
+
+    @property
+    def pass_rate(self) -> float:
+        return self.tests_agree / self.tests_total if self.tests_total else 1.0
+
+    @property
+    def precision(self) -> float:
+        d = self.quads_tp + self.quads_fp
+        return self.quads_tp / d if d else 1.0
+
+    @property
+    def recall(self) -> float:
+        d = self.quads_tp + self.quads_fn
+        return self.quads_tp / d if d else 1.0
+
+    def note(self, entry_id: str, detail: str) -> None:
+        self.disagreements.append((entry_id, detail))
+
+
+def _run_one(fn: str, impl: str, entry: dict):
+    """Run one manifest entry through one processor ('mine' or 'ref').
+
+    Returns (kind, payload): ('ok', result) or ('err', error_code)."""
+    options = dict(entry.get("options") or {})
+    doc = copy.deepcopy(entry["input"])
+    contexts = entry.get("contexts")
+    if impl == "mine":
+        from pyld_spark.jsonld import api
+        from pyld_spark.jsonld.errors import JsonLdError
+
+        if contexts:
+            options["documentLoader"] = copy.deepcopy(contexts)
+        try:
+            if fn == "compact":
+                return "ok", api.compact(doc, copy.deepcopy(entry["ctx"]), options)
+            if fn == "frame":
+                return "ok", api.frame(doc, copy.deepcopy(entry["frame"]), options)
+            if fn == "to_rdf":
+                return "ok", api.to_rdf(
+                    doc, {**options, "format": "application/n-quads"}
+                )
+            if fn == "from_rdf":
+                return "ok", api.from_rdf(doc, options)
+            if fn == "normalize":
+                return "ok", api.normalize(doc, options)
+            return "ok", getattr(api, fn)(doc, options)
+        except JsonLdError as e:
+            return "err", e.code
+    else:
+        from tests.ref_oracle import get_reference_jsonld
+
+        ref = get_reference_jsonld()
+        if contexts:
+            options["documentLoader"] = _ref_loader(contexts)
+        try:
+            if fn == "compact":
+                return "ok", ref.compact(doc, copy.deepcopy(entry["ctx"]), options)
+            if fn == "frame":
+                return "ok", ref.frame(doc, copy.deepcopy(entry["frame"]), options)
+            if fn == "to_rdf":
+                return "ok", ref.to_rdf(
+                    doc, {**options, "format": "application/n-quads"}
+                )
+            if fn == "from_rdf":
+                return "ok", ref.from_rdf(
+                    doc, {"format": "application/n-quads", **options}
+                )
+            if fn == "normalize":
+                return "ok", ref.normalize(doc, options)
+            return "ok", getattr(ref, fn)(doc, options)
+        except Exception as e:  # noqa: BLE001 — reference error chain varies
+            code = _ref_error_code(e)
+            return "err", code if code else f"uncoded: {type(e).__name__}"
+
+
+def _normalized_quadset(nquads: str, impl: str) -> set[str]:
+    """URGNA2012-normalize an N-Quads doc with the SAME processor that
+    produced it, then split to a line set (runtests.py:455-476 semantics).
+
+    Generalized RDF (blank-node predicates) is serializable but not
+    re-parseable in either processor's N-Quads grammar — for those docs the
+    raw line set is compared instead (both processors issue identical
+    deterministic ``_:bN`` labels, so the comparison stays meaningful)."""
+    try:
+        if impl == "mine":
+            from pyld_spark.jsonld import api
+
+            norm = api.normalize(nquads, dict(_NORM_OPTS))
+        else:
+            from tests.ref_oracle import get_reference_jsonld
+
+            norm = get_reference_jsonld().normalize(nquads, dict(_NORM_OPTS))
+    except Exception:  # noqa: BLE001 — non-parseable generalized RDF
+        norm = nquads
+    return {ln for ln in norm.split("\n") if ln.strip()}
+
+
+def run_manifest(name: str, fn: str) -> Score:
+    score = Score()
+    quad_level = fn in ("to_rdf", "normalize")
+    for entry in load_manifest(name):
+        score.tests_total += 1
+        mine_kind, mine = _run_one(fn, "mine", entry)
+        ref_kind, ref = _run_one(fn, "ref", entry)
+        if entry.get("negative"):
+            if mine_kind == "err" and ref_kind == "err" and mine == ref:
+                score.tests_agree += 1
+            else:
+                score.note(entry["id"],
+                           f"negative: mine=({mine_kind},{mine}) ref=({ref_kind},{ref})")
+            continue
+        if mine_kind != "ok" or ref_kind != "ok":
+            score.note(entry["id"],
+                       f"mine=({mine_kind},{mine if mine_kind=='err' else '…'}) "
+                       f"ref=({ref_kind},{ref if ref_kind=='err' else '…'})")
+            if quad_level and ref_kind == "ok":
+                score.quads_fn += len(_normalized_quadset(ref, "ref"))
+            if quad_level and mine_kind == "ok":
+                score.quads_fp += len(_normalized_quadset(mine, "mine"))
+            continue
+        if quad_level:
+            mine_set = _normalized_quadset(mine, "mine")
+            ref_set = _normalized_quadset(ref, "ref")
+            tp = len(mine_set & ref_set)
+            score.quads_tp += tp
+            score.quads_fp += len(mine_set) - tp
+            score.quads_fn += len(ref_set) - tp
+            if mine_set == ref_set:
+                score.tests_agree += 1
+            else:
+                score.note(entry["id"],
+                           f"quads: mine-only={sorted(mine_set - ref_set)[:2]} "
+                           f"ref-only={sorted(ref_set - mine_set)[:2]}")
+        else:
+            if equal_unordered(mine, ref):
+                score.tests_agree += 1
+            else:
+                score.note(entry["id"], f"mine={mine!r} ref={ref!r}"[:300])
+    return score
+
+
+MANIFESTS = [
+    ("tordf", "to_rdf"),
+    ("expand", "expand"),
+    ("compact", "compact"),
+    ("frame", "frame"),
+    ("fromrdf", "from_rdf"),
+    ("normalize", "normalize"),
+]
+
+
+def run_all() -> dict[str, Score]:
+    return {name: run_manifest(name, fn) for name, fn in MANIFESTS}

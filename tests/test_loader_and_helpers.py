@@ -76,7 +76,8 @@ def test_cyclic_context_error():
     doc = {"@context": "http://ctx.example/cycle-a", "@id": EX + "a"}
     with pytest.raises(JsonLdError) as ei:
         api.expand(doc, _opts())
-    assert ei.value.code == "recursive context inclusion"
+    # reference parity: modern pyld reports cyclic inclusion as overflow
+    assert ei.value.code == "context overflow"
 
 
 def test_unknown_url_fails():

@@ -1,5 +1,5 @@
 """Scaling efficiency on a REAL multi-executor Spark standalone cluster
-(4 local workers x 8 cores — separate executor JVMs, so none of local-mode's
+(4 local workers — separate executor JVMs, so none of local-mode's
 single-JVM shuffle/GC contention).
 
 Levels map directly to the north_rule's "N vs 4N executors":
@@ -9,6 +9,22 @@ EXEC_CORES defaults to 2 so that even the 4N level leaves the 32-core box
 undersubscribed (executor JVMs, python workers, driver and shuffle IO all
 need headroom — 4x8 cores on one box measures oversubscription, not
 scaling). Override with EXEC_CORES env var.
+
+Protocol (mirrors the checkpointed pipeline, plans/pipeline.py — each stage
+materializes before the next starts, which is also what isolates the
+measured stage from upstream pipelining stalls):
+
+  0. (untimed) write the synthetic corpus bucketed by conv_id — the
+     production Iceberg layout; assembly then has NO exchange
+  1. assemble:   bucketed transcripts → JSON-LD docs → parquet (timed)
+  2. triples:    docs parquet → mapInArrow expand/toRDF → count (timed;
+                 headline triples/sec)
+  3. canonicalize: cached triples → DataFrame c14n fixpoint (timed)
+
+Levels are run ALTERNATING with SCALING_TRIALS trials each and best-of is
+reported per level: run-to-run noise on this shared box is ±10% (measured on
+the raw no-Spark kernel too), and the best-of pair is the least-contaminated
+estimate of each level's true throughput.
 
 Start the cluster first (tools/standalone_cluster.sh start), then:
     python tools/bench_cluster_scaling.py [n_convs] [turns]
@@ -24,7 +40,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
-import json, sys, time
+import json, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 from pyld_spark.session import package_zip
@@ -42,42 +58,66 @@ spark = (
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     .config("spark.local.dir", "/dev/shm/spark-local")
     .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 )
 spark.sparkContext.addPyFile(package_zip())
 spark.sparkContext.setLogLevel("ERROR")
 
-from pyld_spark.transcripts import assemble_documents, synthesize_transcripts
+from pyld_spark.transcripts import (
+    assemble_documents, synthesize_transcripts, write_bucketed_transcripts,
+)
 from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
 from pyld_spark.operators.canonicalize import canonicalize_triples
 
-t = synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}).cache()
+base = "/dev/shm/bench-{cores_max}"
+shutil.rmtree(base, ignore_errors=True)
+
+# untimed: production table layout (bucketed by conv key at write time)
+t = write_bucketed_transcripts(
+    synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}),
+    spark, base + "/transcripts",
+)
 n_turns = t.count()
-# warm-up: executor + python-worker spin-up off the clock (cache the warm
-# triples so canonicalize doesn't re-plan the whole python chain in one AQE
-# query — mirrors the staged pipeline, which checkpoints between stages)
-warm = split_quarantine(docs_to_triples(assemble_documents(t.limit(2000))))[0].cache()
+
+# warm-up: executor + python-worker spin-up off the clock
+warm_docs = assemble_documents(t).limit(1000).cache()
+warm = split_quarantine(docs_to_triples(warm_docs))[0].cache()
 warm.count()
 canonicalize_triples(warm).count()
-warm.unpersist()
+warm.unpersist(); warm_docs.unpersist()
 
 t0 = time.perf_counter()
-triples, _ = split_quarantine(docs_to_triples(assemble_documents(t)))
-triples = triples.cache()
-n_triples = triples.count()
+assemble_documents(t).write.mode("overwrite").parquet(base + "/docs")
+t_asm = time.perf_counter() - t0
+docs = spark.read.parquet(base + "/docs")
+
+# checkpointed like plans/pipeline.py: the stage output is a parquet
+# materialization (executor-memory .cache() of the fat triples table
+# competes with the Python kernel for task cores and skews the levels)
+t0 = time.perf_counter()
+triples, _ = split_quarantine(docs_to_triples(docs))
+triples.write.mode("overwrite").parquet(base + "/triples")
 t_triples = time.perf_counter() - t0
-t0b = time.perf_counter()
+triples = spark.read.parquet(base + "/triples")
+n_triples = triples.count()
+
+t0 = time.perf_counter()
 n_canon = canonicalize_triples(triples).count()
-t_total = t_triples + (time.perf_counter() - t0b)
+t_canon = time.perf_counter() - t0
+
+t_total = t_asm + t_triples + t_canon
 print("RESULT " + json.dumps({{
     "cores_max": cores_max, "executors": cores_max // {exec_cores},
     "n_turns": n_turns, "n_triples": n_triples,
-    "wall_triples": round(t_triples, 3), "wall_total": round(t_total, 3),
+    "wall_assemble": round(t_asm, 3), "wall_triples": round(t_triples, 3),
+    "wall_canonicalize": round(t_canon, 3), "wall_total": round(t_total, 3),
     "triples_per_sec": round(n_triples / t_triples, 1),
     "pipeline_triples_per_sec": round(n_triples / t_total, 1),
 }}))
 spark.stop()
+shutil.rmtree(base, ignore_errors=True)
 """
 
 
@@ -98,30 +138,29 @@ def run_level(cores_max: int, n_convs: int, turns: int, exec_cores: int) -> dict
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     turns = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
     exec_cores = int(os.environ.get("EXEC_CORES", "2"))
-    results = {}
     levels = (exec_cores, exec_cores * 4)
-    for cores in levels:
-        best = None
-        for _ in range(trials):
+    best: dict[int, dict] = {}
+    for i in range(trials):
+        for cores in levels:  # alternate levels so drift hits both equally
             r = run_level(cores, n_convs, turns, exec_cores)
-            if best is None or r["wall_total"] < best["wall_total"]:
-                best = r
-        results[cores] = best
-        print(json.dumps(best))
+            print(json.dumps({"trial": i, **r}), flush=True)
+            if cores not in best or r["wall_triples"] < best[cores]["wall_triples"]:
+                best[cores] = r
     lo, hi = levels
     eff = {
         "triples_stage": round(
-            results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"] / 4.0, 3
+            best[hi]["triples_per_sec"] / best[lo]["triples_per_sec"] / 4.0, 3
         ),
         "full_pipeline": round(
-            results[hi]["pipeline_triples_per_sec"]
-            / results[lo]["pipeline_triples_per_sec"] / 4.0, 3
+            best[hi]["pipeline_triples_per_sec"]
+            / best[lo]["pipeline_triples_per_sec"] / 4.0, 3
         ),
     }
     print(json.dumps({"mode": f"standalone 1 vs 4 executors ({exec_cores} cores each)",
-                      "scaling_efficiency": eff, "levels": results}))
+                      "scaling_efficiency": eff,
+                      "levels": {str(k): v for k, v in best.items()}}))
 
 
 if __name__ == "__main__":

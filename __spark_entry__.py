@@ -158,6 +158,16 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.dedup import embedding_cosine_pairs
+
+    # the synthetic embeddings have no true near-dups (max pairwise cosine
+    # ≈ 0.48), so the gate exercises the operator at a looser threshold
+    return embedding_cosine_pairs(
+        _embs(spark, sf_dir), dim=64, threshold_q6=250000, n_planes=4
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.textstats import text_stats
 
@@ -369,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "simhash_near_pairs": _q_simhash_pairs,
+        "embedding_cosine_pairs": _q_embedding_dedup,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "language_id": _q_langid,
@@ -687,6 +698,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lshr l LEFT JOIN bf
               ON l.query_id = bf.query_id AND l.neighbor_id = bf.neighbor_id
             WHERE l.rank <= 10""",
+        "embedding_cosine_pairs": f"""
+            WITH planes AS (
+              SELECT i, list_transform(range(0, 64), j ->
+                (CAST(concat('0x', substr(md5(concat(i, ':', j)), 1, 8)) AS BIGINT)
+                 % 2001) - 1000) AS p
+              FROM range(0, 4) t(i)),
+            qv AS (SELECT vec_id, {quant} AS v FROM embeddings),
+            sig AS (
+              SELECT vec_id,
+                     string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY i) AS bucket
+              FROM (SELECT qv.vec_id, pl.i,
+                           list_sum(list_transform(range(1, 65), x -> v[x] * p[x])) AS dot
+                    FROM qv, planes pl) dots
+              GROUP BY vec_id),
+            joined AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.v AS cq, b.v AS qq
+              FROM (SELECT * FROM qv JOIN sig USING (vec_id)) a
+              JOIN (SELECT * FROM qv JOIN sig USING (vec_id)) b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            scored AS (
+              SELECT id_a, id_b,
+                     CAST(floor({fixed_cos} * 1000000) AS BIGINT) AS cos_q6
+              FROM joined)
+            SELECT DISTINCT id_a, id_b, cos_q6 FROM scored
+            WHERE cos_q6 >= 250000""",
         "media_features": """
             WITH p AS (SELECT doc_id, encode(text || text) AS payload FROM documents),
             h AS (SELECT doc_id, lower(hex(payload)) AS hx,

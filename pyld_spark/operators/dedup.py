@@ -267,6 +267,64 @@ def minhash_dedup_pairs_md5(
     )
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold_q6: int = 990000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-based near-duplicate pairs: (id_a < id_b, cos_q6) where the
+    fixed-point cosine ≥ ``threshold_q6``/10⁶.
+
+    Scale path: random-hyperplane LSH buckets over quantized vectors (exact
+    integer sign decisions — engine-portable) shrink candidates from
+    all-pairs to per-bucket joins; true near-duplicates (cosine → 1) land in
+    the same bucket with probability (1 - θ/π)^planes, so recall stays high
+    exactly where dedup needs it. Cost is linear in corpus + bucket
+    collisions, never |corpus|².
+    """
+    from pyld_spark.operators.similarity import hyperplane_expr_md5, quantize_expr
+
+    def signature(qvec):
+        # dim is a parameter (like lsh_bucketed_topk) — reading it from the
+        # data would fire a driver-side job during plan construction
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(qvec, hyperplane_expr_md5(dim, i, scale),
+                               lambda x, h: x * h),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for i in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    q = embeddings.select(
+        F.col(id_col).alias("vid"), quantize_expr(F.col(vec_col), scale).alias("vq")
+    ).withColumn("bucket", signature(F.col("vq")))
+    a = q.select(F.col("vid").alias("id_a"), F.col("vq").alias("vq_a"), "bucket")
+    b = q.select(F.col("vid").alias("id_b"), F.col("vq").alias("vq_b"), "bucket")
+    lsum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda x, v: x + v)  # noqa: E731
+    dot = lsum(F.zip_with(F.col("vq_a"), F.col("vq_b"), lambda x, y: x * y))
+    na = lsum(F.transform(F.col("vq_a"), lambda x: x * x))
+    nb = lsum(F.transform(F.col("vq_b"), lambda x: x * x))
+    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_q6", F.floor(cos * 1000000).cast("bigint"))
+        .filter(F.col("cos_q6") >= threshold_q6)
+        .select("id_a", "id_b", "cos_q6")
+        .distinct()
+    )
+
+
 def simhash_signatures(
     documents: DataFrame,
     text_col: str = "text",

@@ -127,6 +127,10 @@ def _run_one(fn: str, impl: str, entry: dict):
         try:
             if fn == "compact":
                 return "ok", api.compact(doc, copy.deepcopy(entry["ctx"]), options)
+            if fn == "flatten":
+                return "ok", api.flatten(
+                    doc, copy.deepcopy(entry.get("ctx")), options
+                )
             if fn == "frame":
                 return "ok", api.frame(doc, copy.deepcopy(entry["frame"]), options)
             if fn == "to_rdf":
@@ -149,6 +153,10 @@ def _run_one(fn: str, impl: str, entry: dict):
         try:
             if fn == "compact":
                 return "ok", ref.compact(doc, copy.deepcopy(entry["ctx"]), options)
+            if fn == "flatten":
+                return "ok", ref.flatten(
+                    doc, copy.deepcopy(entry.get("ctx")), options
+                )
             if fn == "frame":
                 return "ok", ref.frame(doc, copy.deepcopy(entry["frame"]), options)
             if fn == "to_rdf":
@@ -237,6 +245,7 @@ MANIFESTS = [
     ("tordf", "to_rdf"),
     ("expand", "expand"),
     ("compact", "compact"),
+    ("flatten", "flatten"),
     ("frame", "frame"),
     ("fromrdf", "from_rdf"),
     ("normalize", "normalize"),

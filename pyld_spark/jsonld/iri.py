@@ -8,6 +8,7 @@ to vectorize inside pandas UDF batches.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _PARTS_RE = re.compile(
@@ -17,9 +18,18 @@ _PARTS_RE = re.compile(
 _ABSOLUTE_IRI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*|_):[^\s]*$")
 
 
+@lru_cache(maxsize=16384)
+def _abs_iri_match(value: str) -> bool:
+    return bool(_ABSOLUTE_IRI_RE.match(value))
+
+
 def is_absolute_iri(value: str) -> bool:
-    """Loose absolute-IRI test: scheme (or ``_`` for bnodes) + no whitespace."""
-    return isinstance(value, str) and bool(_ABSOLUTE_IRI_RE.match(value))
+    """Loose absolute-IRI test: scheme (or ``_`` for bnodes) + no whitespace.
+
+    Hot path (every subject/predicate/object of every quad): IRIs repeat
+    heavily across a corpus, so the regex result is LRU-cached per worker
+    process."""
+    return isinstance(value, str) and _abs_iri_match(value)
 
 
 def parse_iri(iri: str):
@@ -67,17 +77,39 @@ def remove_dot_segments(path: str) -> str:
     return "".join(output)
 
 
+def _remove_dot_segments_of_path(iri: str, colon_pos: int) -> str:
+    """Dot-segment removal applied only to the path part (reference
+    iri_resolver.remove_dot_segments_of_path, lines 92-126)."""
+    if colon_pos >= 0:
+        if (
+            len(iri) > colon_pos + 2
+            and iri[colon_pos + 1] == "/"
+            and iri[colon_pos + 2] == "/"
+        ):
+            search_offset = colon_pos + 3
+        else:
+            search_offset = colon_pos + 1
+    else:
+        search_offset = 2 if len(iri) > 1 and iri[0] == "/" and iri[1] == "/" else 0
+    path_separator = iri.find("/", search_offset)
+    if path_separator < 0:
+        return iri
+    return iri[:path_separator] + remove_dot_segments(iri[path_separator:])
+
+
 def resolve_iri(base: str | None, rel: str) -> str:
-    """RFC 3986 §5.2 transform-references merge."""
+    """RFC 3986 §5.2 transform-references merge, with one deliberate
+    reference-parity quirk: a relative IRI containing a colon ANYWHERE
+    (except when it starts with '#' or '?') is treated as opaque/absolute
+    and never resolved against the base — the reference resolver checks
+    ``relative_iri.find(':') >= 0`` (iri_resolver.py:174-176), so '0#:',
+    'a#b:c' and even '//host:80/p' skip base resolution entirely."""
     if rel is None:
         rel = ""
     if base is None or base == "":
         return rel
-    head = re.split(r"[/?#]", rel, maxsplit=1)[0]
-    if ":" in head and not _SCHEME_RE.match(rel):
-        # colon before any slash but not a valid scheme (':', '0:') — the
-        # reference processor treats these as opaque and leaves them alone
-        return rel
+    if ":" in rel and not rel.startswith(("#", "?")):
+        return _remove_dot_segments_of_path(rel, rel.find(":"))
     r_scheme, r_auth, r_path, r_query, r_frag = parse_iri(rel)
     b_scheme, b_auth, b_path, b_query, _ = parse_iri(base)
     if r_scheme is not None:

@@ -12,7 +12,7 @@ when a corpus-global table is materialized.
 
 from __future__ import annotations
 
-from pyld_spark.jsonld.context import arrayify, is_keyword
+from pyld_spark.jsonld.context import KEYWORDS, arrayify, is_keyword
 from pyld_spark.jsonld.errors import JsonLdError
 
 
@@ -140,9 +140,8 @@ def create_node_map(
     if isinstance(element, list):
         for item in element:
             create_node_map(
-                element=item, node_map=node_map, issuer=issuer,
-                active_graph=active_graph, active_subject=active_subject,
-                active_property=active_property, list_=list_,
+                item, node_map, issuer, active_graph, active_subject,
+                active_property, list_,
             )
         return
     if not isinstance(element, dict):
@@ -241,7 +240,7 @@ def create_node_map(
         values = element[prop]
         if prop == "@index":
             continue
-        if is_keyword(prop) and prop not in ("@type",):
+        if prop in KEYWORDS and prop != "@type":
             # framing keywords etc. are copied through
             node[prop] = values
             continue
@@ -249,8 +248,7 @@ def create_node_map(
             prop = issuer.get_id(prop)
         node.setdefault(prop, [])
         create_node_map(
-            element=values, node_map=node_map, issuer=issuer,
-            active_graph=active_graph, active_subject=id_, active_property=prop,
+            values, node_map, issuer, active_graph, id_, prop,
         )
 
 

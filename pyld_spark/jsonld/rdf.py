@@ -33,6 +33,11 @@ I18N_NS = "https://www.w3.org/ns/i18n#"
 
 _DOUBLE_TRIM_RE = re.compile(r"(\d)0*E\+?(-)?0*(\d)")
 
+# shared immutable term dicts (hot path: one per cons cell otherwise)
+_RDF_FIRST_TERM = {"type": "IRI", "value": RDF_FIRST}
+_RDF_REST_TERM = {"type": "IRI", "value": RDF_REST}
+_RDF_NIL_TERM = {"type": "IRI", "value": RDF_NIL}
+
 
 def canonical_double(value: float) -> str:
     """Canonical xsd:double form: %1.15E with zero-trimmed mantissa/exponent
@@ -126,9 +131,9 @@ def list_to_rdf(items: list, issuer: IdentifierIssuer, triples: list, graph_name
     """@list → rdf:first/rest/nil cons-cell chain (reference
     jsonld.py:3878-3913). In the DataFrame path the same chain is produced
     with posexplode + lead() (pyld_spark.operators.rdf_stage)."""
-    first = {"type": "IRI", "value": RDF_FIRST}
-    rest = {"type": "IRI", "value": RDF_REST}
-    nil = {"type": "IRI", "value": RDF_NIL}
+    first = _RDF_FIRST_TERM
+    rest = _RDF_REST_TERM
+    nil = _RDF_NIL_TERM
     if not items:
         return nil
     # reference issuance order: each cell's bnode is issued immediately
@@ -155,6 +160,9 @@ def node_map_to_quads(node_map: dict, issuer: IdentifierIssuer,
     subjects, predicates and objects are dropped per spec.
     """
     quads: list = []
+    # predicate IRIs repeat across every subject: build each term dict once
+    # (terms are treated as immutable downstream)
+    pred_cache: dict = {"@type": {"type": "IRI", "value": RDF_TYPE}}
     for graph_name in sorted(node_map):
         graph = node_map[graph_name]
         if graph_name == "@default":
@@ -176,7 +184,7 @@ def node_map_to_quads(node_map: dict, issuer: IdentifierIssuer,
             for prop in sorted(node):
                 values = node[prop]
                 if prop == "@type":
-                    pred = {"type": "IRI", "value": RDF_TYPE}
+                    pred = pred_cache["@type"]
                     for t in values:
                         if isinstance(t, str) and t.startswith("_:"):
                             obj = {"type": "blank node", "value": t}
@@ -186,15 +194,21 @@ def node_map_to_quads(node_map: dict, issuer: IdentifierIssuer,
                             continue
                         quads.append((subj, pred, obj, gname))
                     continue
-                if is_keyword(prop):
-                    continue
-                if prop.startswith("_:"):
-                    if not produce_generalized_rdf:
-                        continue
-                    pred = {"type": "blank node", "value": prop}
-                elif is_absolute_iri(prop):
-                    pred = {"type": "IRI", "value": prop}
-                else:
+                pred = pred_cache.get(prop)
+                if pred is None:
+                    if is_keyword(prop):
+                        pred = False
+                    elif prop.startswith("_:"):
+                        pred = (
+                            {"type": "blank node", "value": prop}
+                            if produce_generalized_rdf else False
+                        )
+                    elif is_absolute_iri(prop):
+                        pred = {"type": "IRI", "value": prop}
+                    else:
+                        pred = False
+                    pred_cache[prop] = pred
+                if pred is False:
                     continue
                 for item in values:
                     obj = object_to_rdf(item, issuer, quads, gname, rdf_direction)

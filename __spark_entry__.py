@@ -158,6 +158,39 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end HTML ingestion: deterministic pages (ld+json script +
+    per-page <base href> + a decoy non-JSON-LD script) → extraction →
+    base-aware expansion → triples. Certifies the full load_html path."""
+    from pyspark.sql import functions as F
+
+    from pyld_spark.sources.html_ingest import html_to_documents
+
+    ensure_workers_can_import(spark)
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><base href="https://pages.example/root'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('/"><script type="application/ld+json">{"@id":"doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('","@type":"https://pages.example/v#Page",'
+              '"https://pages.example/v#len":'),
+        F.col("n_chars").cast("string"),
+        F.lit('}</script></head><body>'
+              '<script type="text/javascript">var x = 1;</script>'
+              "</body></html>"),
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("page_id"), html.alias("html")
+    )
+    extracted = html_to_documents(pages, extract_all_scripts=True)
+    good = extracted.filter(F.col("error_code").isNull())
+    triples, _ = split_quarantine(
+        docs_to_triples(good, id_col="doc_id", doc_col="doc", base_col="base")
+    )
+    return triples
+
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.dedup import embedding_cosine_pairs
 
@@ -380,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": _q_minhash_pairs,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
+        "html_page_triples": _q_html_triples,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "language_id": _q_langid,
@@ -725,6 +759,24 @@ def oracle_sql() -> dict[str, str]:
               FROM joined)
             SELECT DISTINCT id_a, id_b, cos_q6 FROM scored
             WHERE cos_q6 >= 250000""",
+        "html_page_triples": f"""
+            WITH b AS (
+              SELECT CAST(doc_id AS STRING) AS did,
+                     concat('https://pages.example/root',
+                            CAST(doc_id % 3 AS STRING), '/doc/',
+                            CAST(doc_id AS STRING)) AS subj,
+                     n_chars
+              FROM documents)
+            SELECT did AS doc_id, subj, '{_RDF}type' AS pred, 'IRI' AS obj_kind,
+                   'https://pages.example/v#Page' AS obj_value,
+                   CAST(NULL AS STRING) AS obj_datatype,
+                   CAST(NULL AS STRING) AS obj_language, '@default' AS graph
+            FROM b
+            UNION ALL
+            SELECT did, subj, 'https://pages.example/v#len', 'literal',
+                   CAST(n_chars AS STRING), '{_XSD}integer',
+                   CAST(NULL AS STRING), '@default'
+            FROM b""",
         "media_features": """
             WITH p AS (SELECT doc_id, encode(text || text) AS payload FROM documents),
             h AS (SELECT doc_id, lower(hex(payload)) AS hx,

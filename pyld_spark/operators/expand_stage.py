@@ -95,6 +95,7 @@ def docs_to_triples(
     doc_col: str = "doc",
     base_url: str | None = None,
     namespace_bnodes: bool = True,
+    base_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, doc json) → flat triples table (+ quarantine rows).
 
@@ -104,6 +105,10 @@ def docs_to_triples(
     lists converted once to Arrow arrays. On the 2M-turn scaling corpus the
     pandas conversion both ways was the largest non-kernel cost of the
     stage (JVM→Python transport share), so this is the scale path.
+
+    ``base_col`` names an optional per-document base-IRI column (e.g. the
+    ``<base href>`` extracted by the HTML ingestion source); it overrides
+    ``base_url`` row-wise when non-null.
     """
 
     def run(batches) -> Iterator:
@@ -114,6 +119,12 @@ def docs_to_triples(
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
             djs = batch.column(batch.schema.get_field_index(doc_col)).to_pylist()
+            if base_col is not None:
+                bases = batch.column(
+                    batch.schema.get_field_index(base_col)
+                ).to_pylist()
+            else:
+                bases = None
             c_doc: list = []
             c_subj: list = []
             c_pred: list = []
@@ -123,9 +134,12 @@ def docs_to_triples(
             c_olang: list = []
             c_graph: list = []
             c_err: list = []
-            for doc_id, doc_json in zip(ids, djs):
+            for row_idx, (doc_id, doc_json) in enumerate(zip(ids, djs)):
+                row_base = base_url
+                if bases is not None and bases[row_idx] is not None:
+                    row_base = bases[row_idx]
                 try:
-                    quads = _doc_to_quads(doc_json, base_url)
+                    quads = _doc_to_quads(doc_json, row_base)
                 except JsonLdError as e:
                     c_doc.append(doc_id)
                     for col in (c_subj, c_pred, c_okind, c_oval, c_odt,

@@ -93,6 +93,112 @@ def assemble_documents_stream(
     return agg.select("conv_id", doc.alias("doc"))
 
 
+STATE_SCHEMA_DDL = (
+    "turn_idx array<int>, role array<string>, text array<string>, "
+    "tool array<string>, ts_str array<string>, max_ts_ms bigint"
+)
+
+
+def assemble_documents_stream_stateful(
+    transcripts: DataFrame,
+    watermark: str = "10 minutes",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful assembly via ``applyInPandasWithState``.
+
+    The session-window version (:func:`assemble_documents_stream`) expresses
+    assembly declaratively; this one is the explicit-state formulation — the
+    shape any custom stateful operator takes at scale: per-conversation turn
+    buffers in the state store, an event-time timeout ``gap_seconds`` after
+    the last observed turn, and document emission on timeout. Output is
+    byte-identical to the batch :func:`~pyld_spark.transcripts.assemble_documents`
+    (verified in tests).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyld_spark.transcripts import CONV_BASE, TRANSCRIPT_CONTEXT
+
+    ctx_prefix = (
+        '{"@context":' + _json.dumps(TRANSCRIPT_CONTEXT, sort_keys=True) + ',"@id":"'
+    )
+    out_schema = "conv_id string, doc string"
+
+    def build_doc(conv_id: str, rows: list) -> str:
+        # byte-parity with the batch path: struct-field order, null-field
+        # omission (to_json drops nulls), compact separators
+        rows.sort(key=lambda r: (r[0], r[1], r[2], r[3] or "", r[4]))
+        parts = []
+        for turn_idx, role, text, tool, ts_str in rows:
+            item = {
+                "@id": f"{CONV_BASE}{conv_id}/turn/{turn_idx}",
+                "@type": "Turn",
+                "turnIndex": turn_idx,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": ts_str,
+            }
+            if tool is None:
+                del item["tool"]
+            parts.append(
+                _json.dumps(item, ensure_ascii=False, separators=(",", ":"))
+            )
+        return (
+            ctx_prefix + CONV_BASE + conv_id
+            + '","@type":"Conversation","turns":{"@list":['
+            + ",".join(parts) + "]}}"
+        )
+
+    def fn(key, pdfs, state):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idx, role, text, tool, ts_str, _ = state.get
+            rows = list(zip(turn_idx, role, text, tool, ts_str))
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "doc": [build_doc(conv_id, rows)]}
+            )
+            return
+        if state.exists:
+            turn_idx, role, text, tool, ts_str, max_ts_ms = state.get
+            turn_idx, role, text, tool, ts_str = (
+                list(turn_idx), list(role), list(text), list(tool), list(ts_str)
+            )
+        else:
+            turn_idx, role, text, tool, ts_str, max_ts_ms = [], [], [], [], [], 0
+        for pdf in pdfs:
+            turn_idx.extend(int(v) for v in pdf["turn_idx"])
+            role.extend(pdf["role"])
+            text.extend(pdf["text"])
+            tool.extend(None if pd.isna(v) else v for v in pdf["tool"])
+            ts_str.extend(
+                ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ") for ts in pdf["ts"]
+            )
+            batch_max = int(pdf["ts"].max().timestamp() * 1000)
+            max_ts_ms = max(max_ts_ms, batch_max)
+        state.update((turn_idx, role, text, tool, ts_str, max_ts_ms))
+        # clamp: replay can advance the watermark past a conversation's
+        # natural timeout before its group is first processed — such a
+        # conversation times out on the next microbatch
+        desired = max_ts_ms + gap_seconds * 1000
+        state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1))
+        return
+        yield  # pragma: no cover — keeps fn a generator on the update path
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, out_schema, STATE_SCHEMA_DDL, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_triples(
     spark: SparkSession,
     input_path: str,

@@ -157,10 +157,17 @@ def create_node_map(
         ]
         element["@type"] = new_types if isinstance(element["@type"], list) else new_types[0]
 
+    # a free-floating value/list inside a named graph has no subject node to
+    # attach to — the reference drops it silently (jsonld.py:4146-4198,
+    # `elif subject_node:` guards)
+    subject_node = (
+        graph.get(active_subject) if isinstance(active_subject, str) else None
+    )
+
     if "@value" in element:
         if list_ is None:
-            node = graph[active_subject]
-            add_value(node, active_property, element, allow_duplicate=False)
+            if subject_node is not None:
+                add_value(subject_node, active_property, element, allow_duplicate=False)
         else:
             list_["@list"].append(element)
         return
@@ -173,8 +180,8 @@ def create_node_map(
             active_property=active_property, list_=result,
         )
         if list_ is None:
-            node = graph[active_subject]
-            add_value(node, active_property, result)
+            if subject_node is not None:
+                add_value(subject_node, active_property, result)
         else:
             list_["@list"].append(result)
         return

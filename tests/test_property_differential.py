@@ -13,6 +13,7 @@ EX = "http://example.org/"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 CONTEXT = {
+    "@version": 1.1,
     "@vocab": EX,
     "ex": EX,
     "name": EX + "name",
@@ -24,6 +25,11 @@ CONTEXT = {
     "when": {"@id": EX + "when", "@type": XSD + "dateTime"},
     "blob": {"@id": EX + "blob", "@type": "@json"},
     "label": {"@id": EX + "label", "@language": "en"},
+    "rev": {"@reverse": EX + "rev"},
+    "sub": {"@id": EX + "sub", "@container": "@graph"},
+    "meta": "@nest",
+    "dirp": {"@id": EX + "dirp", "@direction": "rtl", "@language": "ar"},
+    "T1": {"@id": EX + "T1", "@context": {"scoped": EX + "scoped"}},
 }
 
 scalars = st.one_of(
@@ -34,7 +40,10 @@ scalars = st.one_of(
 )
 
 ids = st.one_of(
-    st.sampled_from([EX + "a", EX + "b", EX + "c", "_:x", "_:y", "rel-iri"]),
+    st.sampled_from([
+        EX + "a", EX + "b", EX + "c", "_:x", "_:y", "rel-iri",
+        "0#:", "x:y", ":", "a#b:c",
+    ]),
 )
 
 value_objects = st.fixed_dictionaries(
@@ -42,6 +51,7 @@ value_objects = st.fixed_dictionaries(
     optional={
         "@language": st.sampled_from(["en", "FR", "de-DE"]),
         "@index": st.sampled_from(["i0", "i1"]),
+        "@direction": st.sampled_from(["ltr", "rtl"]),
     },
 )
 
@@ -85,6 +95,13 @@ def nodes(depth: int):
                 max_leaves=6,
             ),
             "label": st.text(max_size=8),
+            "rev": st.fixed_dictionaries({"@id": ids}),
+            "sub": child,
+            "meta": st.fixed_dictionaries(
+                {}, optional={"name": st.text(max_size=6), "tags": scalars}
+            ),
+            "dirp": st.text(max_size=8),
+            "scoped": st.text(max_size=6),
         },
     )
 
@@ -113,15 +130,20 @@ def test_expand_tordf_normalize_match_reference(doc):
     def ref_error_code(e):
         # walk the cause chain like the reference harness does
         # (/root/reference/tests/runtests.py:582-595); to_rdf wraps expansion
-        # errors in a code-less RdfError, so a None code means "some error"
+        # errors in a code-less RdfError, so a None code means "some error".
+        # A chain bottoming out in a plain Python error (TypeError etc.) is
+        # an internal reference CRASH — e.g. a @list item whose relative-IRI
+        # node drops to None and gets subscripted (jsonld.py:3905-3913) —
+        # not a spec error; we don't reproduce crashes.
         cur = e
+        is_crash = not isinstance(e, ref.JsonLdError)
         while cur is not None:
             code = getattr(cur, "code", None)
             if code:
                 return code
             details = getattr(cur, "details", None)
             cur = details.get("cause") if isinstance(details, dict) else None
-        return "error"
+        return "crash" if is_crash else "error"
 
     ref_nq, ref_code = None, None
     try:
@@ -133,6 +155,8 @@ def test_expand_tordf_normalize_match_reference(doc):
         my_nq = api.to_rdf(doc, {"format": "application/n-quads"})
     except JsonLdError as e:
         my_code = e.code
+    if ref_code == "crash":
+        return  # reference-internal crash: deliberate divergence (we emit)
     if ref_code == "error":
         assert my_code is not None, "reference errored, mine did not"
     else:

@@ -158,6 +158,14 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_flatten_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.compact_stage import flatten_corpus_stats
+
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    return flatten_corpus_stats(docs)
+
+
 def _q_html_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end HTML ingestion: deterministic pages (ld+json script +
     per-page <base href> + a decoy non-JSON-LD script) → extraction →
@@ -414,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
         "html_page_triples": _q_html_triples,
+        "flatten_corpus": _q_flatten_corpus,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "language_id": _q_langid,
@@ -931,6 +940,18 @@ def oracle_sql() -> dict[str, str]:
                                   ',' ORDER BY turn_idx)) AS turns_md5
             FROM transcripts GROUP BY conv_id""",
         "canonical_nquads": canonical_oracle,
+        "flatten_corpus": f"""{_T_CTE},
+            ids AS (
+              SELECT DISTINCT conv_id, concat('{_CONV}', conv_id) AS id
+              FROM transcripts
+              UNION ALL
+              SELECT conv_id, concat('{_CONV}', conv_id, '/turn/',
+                                     CAST(turn_idx AS STRING))
+              FROM transcripts
+            )
+            SELECT conv_id AS doc_id, CAST(count(*) AS BIGINT) AS n_nodes,
+                   md5(string_agg(id, ',' ORDER BY id)) AS ids_md5
+            FROM ids GROUP BY conv_id""",
         "compact_corpus": f"""{_T_CTE}
             SELECT conv_id AS doc_id, CAST(count(*) AS BIGINT) AS n_items,
                    md5(string_agg(CAST(turn_idx AS STRING),

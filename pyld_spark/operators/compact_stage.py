@@ -53,6 +53,46 @@ def compact_documents(docs: DataFrame, target_ctx: dict,
     return docs.mapInPandas(run, COMPACTED_SCHEMA)
 
 
+def flatten_corpus_stats(
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Corpus flattening with SQL-reconstructable output: per document the
+    number of flattened top-level nodes and an md5 over the sorted node
+    @ids (IRIs and the deterministic ``_:bN`` relabeled blank nodes) —
+    certifying node-map construction and bnode issuance order relationally.
+    Returns (doc_id, n_nodes, ids_md5)."""
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("n_nodes", LongType(), True),
+            StructField("ids_md5", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pyld_spark.jsonld import api
+
+        for pdf in batches:
+            rows = []
+            for doc_id, doc_json in zip(pdf[id_col], pdf[doc_col]):
+                flattened = api.flatten(json.loads(doc_json))
+                ids = sorted(
+                    n.get("@id", "") for n in flattened if isinstance(n, dict)
+                )
+                rows.append((
+                    doc_id,
+                    len(ids),
+                    hashlib.md5(",".join(ids).encode("utf-8")).hexdigest(),
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_nodes", "ids_md5"])
+
+    return docs.mapInPandas(run, schema)
+
+
 def compact_corpus_stats(
     docs: DataFrame,
     target_ctx: dict,

@@ -46,14 +46,22 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) 
 
     transcripts = transcripts_from_events(spark, sf_dir)
 
-    # warm-up: spin up Python workers before timing (one-time per executor)
-    warm = assemble_documents(transcripts.limit(2000))
+    # warm-up: spin up Python workers before timing (one-time per executor).
+    # repartition to full width — AQE coalesces the small warm shuffle to a
+    # few partitions otherwise, leaving most worker slots cold
+    warm = assemble_documents(transcripts.limit(2000)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     split_quarantine(docs_to_triples(warm))[0].count()
 
     docs = assemble_documents(transcripts)
     timed("assemble", docs)
 
-    docs = docs.cache()
+    # size partitions to cores for the Python stage: at this small SF the
+    # shuffle width (64) leaves ~23 docs per task, so per-task Arrow
+    # handshake dominates — one task per core is the production sizing rule
+    # (spark.sql.files.maxPartitionBytes serves the same role on big scans)
+    docs = docs.coalesce(spark.sparkContext.defaultParallelism).cache()
     docs.count()  # materialize so triples timing excludes assembly
 
     triples_all = docs_to_triples(docs)

@@ -79,7 +79,11 @@ def flatten_corpus_stats(
         for pdf in batches:
             rows = []
             for doc_id, doc_json in zip(pdf[id_col], pdf[doc_col]):
-                flattened = api.flatten(json.loads(doc_json))
+                try:
+                    flattened = api.flatten(json.loads(doc_json))
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    rows.append((doc_id, None, None))
+                    continue
                 ids = sorted(
                     n.get("@id", "") for n in flattened if isinstance(n, dict)
                 )
@@ -127,7 +131,11 @@ def compact_corpus_stats(
         for pdf in batches:
             rows = []
             for doc_id, doc_json in zip(pdf[id_col], pdf[doc_col]):
-                compacted = api.compact(json.loads(doc_json), ctx)
+                try:
+                    compacted = api.compact(json.loads(doc_json), ctx)
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    rows.append(tuple([doc_id, None] + [None] * len(item_keys)))
+                    continue
                 items = compacted.get(list_term)
                 if isinstance(items, dict):
                     items = items.get("@list", [])

@@ -283,8 +283,10 @@ def embedding_cosine_pairs(
     integer sign decisions — engine-portable) shrink candidates from
     all-pairs to per-bucket joins; true near-duplicates (cosine → 1) land in
     the same bucket with probability (1 - θ/π)^planes, so recall stays high
-    exactly where dedup needs it. Cost is linear in corpus + bucket
-    collisions, never |corpus|².
+    exactly where dedup needs it. Cost is Σ bucket² — ``n_planes`` must grow
+    with corpus size (buckets = 2^planes) to keep buckets bounded; at 100 TB
+    use 16-24 planes (65k-16M buckets), optionally multiple plane sets
+    OR-combined for recall. Never |corpus|².
     """
     from pyld_spark.operators.similarity import hyperplane_expr_md5, quantize_expr
 

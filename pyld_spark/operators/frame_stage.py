@@ -166,7 +166,11 @@ def frame_corpus_stats(docs: DataFrame, triples: DataFrame, frame_doc: dict,
         for pdf in batches:
             rows = []
             for doc_id, doc_json in zip(pdf[id_col], pdf["doc"]):
-                framed = api.frame(json.loads(doc_json), frame)
+                try:
+                    framed = api.frame(json.loads(doc_json), frame)
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    rows.append((doc_id, None, None, None))
+                    continue
                 nodes = framed.get("@graph", [framed])
                 node = nodes[0] if nodes else {}
                 t = node.get("@type")

@@ -52,9 +52,13 @@ def _two_phase_topk(
     """Top-k rows per query by (score DESC, id ASC), two-phase.
 
     Phase 1: groupBy (physical partition, query) keeps only k rows per group
-    (map-side complete — the shuffle carries k-length arrays, not candidates).
-    Phase 2: a window over the ≤ k × n_partitions survivors per query ranks
-    the true top-k. Results are identical to the single-window form.
+    (map-side complete — the shuffle carries k-length arrays, not candidates;
+    transient memory per group is that partition's candidate rows for one
+    query, bounded by ``spark.sql.files.maxPartitionBytes`` like any
+    per-partition sort). Phase 2: a window over the ≤ k × n_partitions
+    survivors per query ranks the true top-k. Results are identical to the
+    single-window form, which would instead send EVERY candidate row of a
+    query to one reducer.
     """
     keep = [c for c in scored.columns if c not in (query_id_col, score_col, id_col)]
     partial = (

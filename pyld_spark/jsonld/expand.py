@@ -417,6 +417,10 @@ def _expand_keyword(
             raise JsonLdError("@value must be scalar/null", "invalid value object value")
         return
     if expanded_property == "@language":
+        if value is None:
+            # null @language expands as if absent (reference
+            # jsonld.py:2480-2483)
+            return
         if isinstance(value, str):
             result["@language"] = value.lower()
         elif frame and (

@@ -208,6 +208,9 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
             )
         if "@type" in result and ("@language" in result or "@direction" in result):
             raise JsonLdError("@type with @language/@direction", "invalid value object")
+        if "@type" in result and result["@type"] is None:
+            # null @type on a value object is dropped (jsonld.py:2171-2173)
+            del result["@type"]
         if result.get("@type") != "@json":
             value = result["@value"]
             if value is None or (isinstance(value, list) and not value):
@@ -241,6 +244,11 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
         return result
 
     if "@type" in result and not isinstance(result["@type"], list):
+        if result["@type"] is None:
+            raise JsonLdError(
+                "@type value must be a string or array of strings",
+                "invalid type value",
+            )
         result["@type"] = [result["@type"]]
     elif "@set" in result or "@list" in result:
         if set(result) - {"@set", "@list", "@index"}:
@@ -360,6 +368,14 @@ def _expand_keyword(
         def _ex(t):
             return expand_iri(type_scoped_ctx, t, vocab=True, document_relative=True)
 
+        if value is None:
+            # reference jsonld.py:2384-2392: a null @type passes through the
+            # keyword step; value objects drop it, node objects raise later
+            if "@type" in result:
+                result["@type"] = arrayify(result["@type"]) + [None]
+            else:
+                result["@type"] = None
+            return
         if isinstance(value, str):
             expanded = _ex(value)
         elif isinstance(value, list) and all(isinstance(v, str) for v in value):

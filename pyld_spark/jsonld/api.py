@@ -62,8 +62,22 @@ def _loader(options: dict) -> DocumentLoader | None:
 
 def expand(document, options: dict | None = None) -> list:
     o = _options(options)
-    ctx = _make_context(o)
     loader = _loader(o)
+    if isinstance(document, str):
+        # a string input is the IRI of a remote document (reference
+        # jsonld.py:690-725): fetch through the loader, defaulting the base
+        # to the document URL
+        if loader is None:
+            raise JsonLdError(
+                f"could not retrieve document: {document}",
+                "loading document failed",
+            )
+        url = document
+        remote = loader.load(url)
+        document = remote.get("document", remote)
+        if o.get("base") is None:
+            o["base"] = remote.get("documentUrl", url)
+    ctx = _make_context(o)
     if o.get("expandContext") is not None:
         ec = o["expandContext"]
         if isinstance(ec, dict) and "@context" in ec:
@@ -85,6 +99,11 @@ def expand(document, options: dict | None = None) -> list:
 
 
 def compact(document, ctx, options: dict | None = None) -> dict:
+    if ctx is None:
+        # reference parity (jsonld.py:760-766): compaction requires a context
+        raise JsonLdError(
+            "the compaction context must not be null", "invalid local context"
+        )
     o = _options(options)
     loader = _loader(o)
     expanded = document if o.get("skipExpansion") else expand(document, o)

@@ -169,6 +169,15 @@ def frame(document, frame_doc, options: dict | None = None):
 
     o = _options(options)
     expanded = expand(document, o)
+    if isinstance(frame_doc, str):
+        # remote frame: fetched through the loader like a remote document
+        loader = _loader(o)
+        if loader is None:
+            raise JsonLdError(
+                f"could not retrieve frame: {frame_doc}", "loading document failed"
+            )
+        remote = loader.load(frame_doc)
+        frame_doc = remote.get("document", remote)
     frame_ctx = (
         frame_doc.get("@context") if isinstance(frame_doc, dict) else None
     )

@@ -109,3 +109,52 @@ def test_record_helpers():
     assert node["p"] == {"@value": True}
     remove_property(node, "p")
     assert "p" not in node
+
+
+REMOTE_JSONLD = {
+    "http://x.example/doc": {
+        "@context": {"@vocab": EX}, "@id": "rel", "@type": "T", "p": "v",
+    },
+    "http://x.example/frame": {"@context": {"@vocab": EX}, "@type": "T"},
+}
+
+
+def test_string_inputs_are_remote_documents():
+    """expand/to_rdf/compact/frame accept document (and frame) IRIs, fetched
+    through the frozen loader with the base defaulting to the document URL
+    (reference jsonld.py:690-725); without a loader they raise."""
+    import copy
+
+    ref = get_reference_jsonld()
+
+    def ref_loader(url, options=None):
+        if url not in REMOTE_JSONLD:
+            raise Exception(f"nope: {url}")
+        return {"contextUrl": None,
+                "document": copy.deepcopy(REMOTE_JSONLD[url]),
+                "documentUrl": url}
+
+    mine = api.expand("http://x.example/doc", {"documentLoader": REMOTE_JSONLD})
+    theirs = ref.expand("http://x.example/doc", options={"documentLoader": ref_loader})
+    assert mine == theirs
+    assert mine[0]["@id"] == "http://x.example/rel"  # base = document URL
+
+    m2 = api.frame(
+        copy.deepcopy(REMOTE_JSONLD["http://x.example/doc"]),
+        "http://x.example/frame", {"documentLoader": REMOTE_JSONLD},
+    )
+    t2 = ref.frame(
+        copy.deepcopy(REMOTE_JSONLD["http://x.example/doc"]),
+        "http://x.example/frame", options={"documentLoader": ref_loader},
+    )
+    assert equal_unordered(m2, t2)
+
+    with pytest.raises(JsonLdError) as ei:
+        api.expand("http://x.example/doc")
+    assert ei.value.code == "loading document failed"
+
+
+def test_compact_null_context_raises():
+    with pytest.raises(JsonLdError) as ei:
+        api.compact({"@id": EX + "s"}, None)
+    assert ei.value.code == "invalid local context"

@@ -164,13 +164,21 @@ def test_expand_tordf_normalize_match_reference(doc):
         assert my_nq == ref_nq
 
     if ref_nq:
-        ref_canon = ref.normalize(
-            doc, {"algorithm": "URDNA2015", "format": "application/n-quads"}
-        )
-        my_canon = api.normalize(
-            doc, {"algorithm": "URDNA2015", "format": "application/n-quads"}
-        )
-        assert my_canon == ref_canon
+        for algorithm in ("URDNA2015", "URGNA2012"):
+            ref_canon = ref.normalize(
+                doc, {"algorithm": algorithm, "format": "application/n-quads"}
+            )
+            my_canon = api.normalize(
+                doc, {"algorithm": algorithm, "format": "application/n-quads"}
+            )
+            assert my_canon == ref_canon, algorithm
+        # and the N-Quads parse→serialize round-trip preserves the quad SET
+        # (parsing dedups duplicate quads by design, like the reference, so
+        # canonize's kept duplicates collapse)
+        from pyld_spark.jsonld.nquads import parse_nquads, serialize_quads
+
+        roundtrip = serialize_quads(parse_nquads(ref_canon))
+        assert set(roundtrip.split("\n")) == set(ref_canon.split("\n"))
 
 
 @settings(

@@ -73,7 +73,39 @@ class Pipeline:
 
     # -- stages -------------------------------------------------------------
 
-    def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
+    TRANSCRIPT_DDL = (
+        "conv_id STRING, turn_idx INT, role STRING, text STRING, "
+        "tool STRING, ts TIMESTAMP"
+    )
+
+    def _bucketed_transcripts(self, transcripts: DataFrame, buckets: int) -> DataFrame:
+        """Materialize the input bucketed+sorted by conv_id (the production
+        Iceberg layout) so assembly plans with zero exchanges. On resume the
+        bucketed table is re-registered over the existing files."""
+        stage = "transcripts_bucketed"
+        table = f"transcripts_bucketed_{self.run_id}"
+        path = self._path(stage)
+        if self._done(stage):
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            self.spark.sql(
+                f"CREATE TABLE {table} ({self.TRANSCRIPT_DDL}) USING parquet "
+                f"CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx) "
+                f"INTO {buckets} BUCKETS LOCATION '{path}'"
+            )
+            return self.spark.table(table)
+        from pyld_spark.transcripts import write_bucketed_transcripts
+
+        t0 = time.perf_counter()
+        out = write_bucketed_transcripts(
+            transcripts, self.spark, path, table=table, buckets=buckets
+        )
+        self._write_lineage(
+            stage, out.count(), 0, int((time.perf_counter() - t0) * 1000)
+        )
+        return out
+
+    def run(self, transcripts: DataFrame, bucket_input: bool = False,
+            buckets: int = 64) -> dict[str, DataFrame]:
         from pyld_spark.operators.canonicalize import canonicalize_triples
         from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
         from pyld_spark.operators.linking import (
@@ -82,6 +114,9 @@ class Pipeline:
             mention_triples,
         )
         from pyld_spark.transcripts import assemble_documents
+
+        if bucket_input:
+            transcripts = self._bucketed_transcripts(transcripts, buckets)
 
         docs = self._stage("assemble", lambda: assemble_documents(transcripts))
 

@@ -27,6 +27,9 @@ def main() -> None:
                                                        "/root/testdata/sf0.01"))
     ap.add_argument("--workdir", default="/tmp/kg_pipeline_run")
     ap.add_argument("--run-id", default="run")
+    ap.add_argument("--bucket-input", action="store_true",
+                    help="materialize the input bucketed by conv_id first "
+                         "(production layout; assembly then has no exchange)")
     ap.add_argument("--synthetic-convs", type=int, default=0,
                     help="if >0, use the synthetic generator at this size "
                          "instead of events-derived transcripts")
@@ -43,7 +46,7 @@ def main() -> None:
     else:
         transcripts = transcripts_from_events(spark, args.sf_dir)
     pipe = Pipeline(spark, args.workdir, run_id=args.run_id)
-    outputs = pipe.run(transcripts)
+    outputs = pipe.run(transcripts, bucket_input=args.bucket_input)
     for stage, df in outputs.items():
         print(f"{stage}: {df.count()} rows -> {os.path.join(args.workdir, stage)}")
     print("lineage:")

@@ -70,6 +70,39 @@ def test_read_nquads_unicode_escapes_match_pure_parser(spark, tmp_path):
     assert "unknown z escape" in got
 
 
+def test_fuzzed_literals_spark_reader_matches_parser(spark, tmp_path):
+    """Deterministic fuzz corpus of nasty literals (escapes, unicode,
+    backslash runs) serialized by the pure writer, then read back by BOTH
+    the Spark reader and the driver parser — one grammar, two engines."""
+    from pyld_spark.jsonld.nquads import parse_nquads, serialize_quad
+
+    nasties = [
+        "plain", 'quo"te', "back\\slash", "tab\there", "nl\nline", "cr\rhere",
+        "café", "\U0001f600", "mix \\\\u0041 \\u0042", "end\\",
+        "\\u00e9 literal-escape-text", "a\tb\nc\\d\"e", "", " ",
+        "\\U0001F600 text", "double\\\\back",
+    ]
+    quads = []
+    for i, text in enumerate(nasties):
+        quads.append((
+            {"type": "IRI", "value": f"http://e/s{i}"},
+            {"type": "IRI", "value": "http://e/p"},
+            {"type": "literal", "value": text,
+             "datatype": "http://www.w3.org/2001/XMLSchema#string"},
+            "@default",
+        ))
+    doc = "".join(serialize_quad(q) for q in quads)
+    p = str(tmp_path / "fuzz.nq")
+    with open(p, "w") as f:
+        f.write(doc)
+    parsed_ref = {q[2]["value"] for q in parse_nquads(doc)}
+    assert parsed_ref == set(nasties)  # writer→parser roundtrip exact
+    df = read_nquads(spark, p)
+    assert df.filter("error_code is not null").count() == 0
+    got = {r.obj_value for r in df.collect()}
+    assert got == parsed_ref
+
+
 def test_roundtrip_matches_pure_parser(spark, tmp_path):
     from pyld_spark.jsonld.nquads import parse_nquads, serialize_quads
 

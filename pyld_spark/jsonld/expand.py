@@ -251,7 +251,9 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
             )
         result["@type"] = [result["@type"]]
     elif "@set" in result or "@list" in result:
-        if set(result) - {"@set", "@list", "@index"}:
+        # reference jsonld.py:2224-2231: at most ONE other property and it
+        # must be @index — so @set alongside @list is also invalid
+        if len(result) > 1 and not (len(result) == 2 and "@index" in result):
             raise JsonLdError(
                 "set/list object with extra keys", "invalid set or list object"
             )
@@ -414,6 +416,10 @@ def _expand_keyword(
         result.setdefault("@included", []).extend(included)
         return
     if expanded_property == "@graph":
+        if not isinstance(value, (dict, list)):
+            raise JsonLdError(
+                "@graph must be an object or an array", "invalid @graph value"
+            )
         expanded = _expand(st, active_ctx, "@graph", value, base_url)
         result["@graph"] = [v for v in arrayify(expanded) if v is not None]
         return

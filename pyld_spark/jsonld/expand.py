@@ -211,28 +211,42 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
         if "@type" in result and result["@type"] is None:
             # null @type on a value object is dropped (jsonld.py:2171-2173)
             del result["@type"]
-        if result.get("@type") != "@json":
+        _t = result.get("@type")
+        _types = _t if isinstance(_t, list) else ([_t] if "@type" in result else [])
+        if _types != ["@json"]:
             value = result["@value"]
             if value is None or (isinstance(value, list) and not value):
                 return None if not frame else result
-            if "@language" in result and not (
-                isinstance(value, str)
-                or (frame and (
-                    value == {}
-                    or (isinstance(value, list) and all(isinstance(x, str) for x in value))
-                ))
+            # reference jsonld.py:2186-2198: each @value entry must be a
+            # string or an empty-object wildcard when language-tagged
+            vals = value if isinstance(value, list) else [value]
+            if "@language" in result and not all(
+                isinstance(x, str) or (isinstance(x, dict) and not x) for x in vals
             ):
                 raise JsonLdError(
                     "@language on non-string @value", "invalid language-tagged value"
                 )
             if "@type" in result:
-                t = result["@type"]
-                ok = isinstance(t, str) and is_absolute_iri(t)
-                if frame:
-                    ts = t if isinstance(t, list) else [t]
-                    ok = all(isinstance(x, str) and is_absolute_iri(x) for x in ts) or t == []
-                if not ok:
-                    raise JsonLdError(f"invalid @type in value object: {t!r}", "invalid typed value")
+                if not frame and isinstance(_t, list):
+                    # non-frame @type on a value object must be a string
+                    # (reference jsonld.py:2159-2170)
+                    raise JsonLdError(
+                        f"invalid @type in value object: {_t!r}", "invalid typed value"
+                    )
+                # reference jsonld.py:2199-2212: empty-object wildcard or an
+                # absolute non-blank-node IRI
+                if not all(
+                    (isinstance(x, dict) and not x)
+                    or (
+                        isinstance(x, str)
+                        and is_absolute_iri(x)
+                        and not x.startswith("_:")
+                    )
+                    for x in _types
+                ):
+                    raise JsonLdError(
+                        f"invalid @type in value object: {_t!r}", "invalid typed value"
+                    )
             if not isinstance(value, (str, int, float, bool)) and not frame:
                 raise JsonLdError("@value must be scalar", "invalid value object value")
         if (
@@ -372,11 +386,12 @@ def _expand_keyword(
 
         if value is None:
             # reference jsonld.py:2384-2392: a null @type passes through the
-            # keyword step; value objects drop it, node objects raise later
+            # keyword step; value objects drop it, node objects raise later.
+            # Frame expansion arrayifies (add_value propertyIsArray=isFrame).
             if "@type" in result:
                 result["@type"] = arrayify(result["@type"]) + [None]
             else:
-                result["@type"] = None
+                result["@type"] = [None] if frame else None
             return
         if isinstance(value, str):
             expanded = _ex(value)
@@ -396,6 +411,9 @@ def _expand_keyword(
         if "@type" in result:
             existing = arrayify(result["@type"])
             result["@type"] = existing + arrayify(expanded)
+        elif frame and not isinstance(expanded, list):
+            # frame expansion arrayifies @type (reference jsonld.py:2419-2424)
+            result["@type"] = [expanded]
         else:
             result["@type"] = expanded
         return
@@ -426,14 +444,12 @@ def _expand_keyword(
     if expanded_property == "@value":
         if input_type == "@json" and active_ctx.processing_mode != "json-ld-1.0":
             result["@value"] = value
-        elif value is None or isinstance(value, (str, int, float, bool)) or (
-            frame and (
-                value == {} or (
-                    isinstance(value, list)
-                    and all(isinstance(v, (str, int, float, bool)) for v in value)
-                )
-            )
-        ):
+        elif frame:
+            # frame expansion arrayifies @value and keeps null — a [null]
+            # pattern matches nothing, NOT a wildcard (reference
+            # jsonld.py:2465-2475, add_value propertyIsArray=isFrame)
+            result["@value"] = value if isinstance(value, list) else [value]
+        elif value is None or isinstance(value, (str, int, float, bool)):
             result["@value"] = value
         else:
             raise JsonLdError("@value must be scalar/null", "invalid value object value")
@@ -443,27 +459,23 @@ def _expand_keyword(
             # null @language expands as if absent (reference
             # jsonld.py:2480-2483)
             return
-        if isinstance(value, str):
-            result["@language"] = value.lower()
-        elif frame and (
-            value == {} or (isinstance(value, list) and all(isinstance(v, str) for v in value))
-        ):
-            result["@language"] = [v.lower() for v in arrayify(value)] if value != {} else value
-        else:
+        if not isinstance(value, str) and not frame:
             raise JsonLdError("@language must be a string", "invalid language-tagged string")
+        vals = value if isinstance(value, list) else [value]
+        vals = [v.lower() if isinstance(v, str) else v for v in vals]
+        # frame expansion arrayifies (reference jsonld.py:2491-2502)
+        result["@language"] = vals if frame else vals[0]
         return
     if expanded_property == "@direction":
         if active_ctx.processing_mode == "json-ld-1.0":
             _dropped(st, key)
             return
-        if value in ("ltr", "rtl") or (
-            frame and (
-                value == {} or (isinstance(value, list) and all(v in ("ltr", "rtl") for v in value))
-            )
-        ):
-            result["@direction"] = value
-        else:
+        if not isinstance(value, str) and not frame:
             raise JsonLdError("@direction must be ltr/rtl", "invalid base direction")
+        vals = value if isinstance(value, list) else [value]
+        if any(isinstance(v, str) and v not in ("ltr", "rtl") for v in vals):
+            raise JsonLdError("@direction must be ltr/rtl", "invalid base direction")
+        result["@direction"] = vals if frame else vals[0]
         return
     if expanded_property == "@index":
         if isinstance(value, str):

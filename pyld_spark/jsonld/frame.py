@@ -16,6 +16,7 @@ import copy
 from pyld_spark.jsonld.context import arrayify, is_keyword
 from pyld_spark.jsonld.errors import JsonLdError
 from pyld_spark.jsonld.expand import is_list_object, is_value_object
+from pyld_spark.jsonld.iri import is_absolute_iri as _is_absolute_iri
 from pyld_spark.jsonld.nodemap import (
     IdentifierIssuer,
     add_value,
@@ -99,107 +100,196 @@ def _get_flag(frame: dict, options: dict, name: str):
     return bool(value)
 
 
+def _is_empty_object(v) -> bool:
+    return isinstance(v, dict) and not v
+
+
+def _is_subject(v) -> bool:
+    """A node object: an object that is not a value/@set/@list and either has
+    more than one key or lacks @id (reference jsonld.py:6412-6427)."""
+    return (
+        isinstance(v, dict)
+        and "@value" not in v
+        and "@set" not in v
+        and "@list" not in v
+        and (len(v) > 1 or "@id" not in v)
+    )
+
+
+def _get_values(subject: dict, key: str) -> list:
+    """get_values parity (reference jsonld.py:1224-1238): arrayified entry,
+    [] when absent."""
+    return arrayify(subject[key]) if key in subject else []
+
+
+def validate_frame(frame) -> None:
+    """Frame validation parity (reference _validate_frame,
+    jsonld.py:4680-4718): a frame is a single object; top-level @id entries
+    must be wildcards or absolute non-bnode IRIs; @type entries wildcards,
+    @json, or absolute non-bnode IRIs."""
+    if (
+        not isinstance(frame, list)
+        or len(frame) != 1
+        or not isinstance(frame[0], dict)
+    ):
+        raise JsonLdError(
+            "a JSON-LD frame must be a single object", "invalid frame"
+        )
+    f = frame[0]
+    if "@id" in f:
+        for id_ in arrayify(f["@id"]):
+            if not (isinstance(id_, dict) or _is_absolute_iri(id_)) or (
+                isinstance(id_, str) and id_.startswith("_:")
+            ):
+                raise JsonLdError("invalid @id in frame", "invalid frame")
+    if "@type" in f:
+        for t in arrayify(f["@type"]):
+            if not (
+                isinstance(t, dict) or t == "@json" or _is_absolute_iri(t)
+            ) or (isinstance(t, str) and t.startswith("_:")):
+                raise JsonLdError("invalid @type in frame", "invalid frame")
+
+
 def _value_match(pattern: dict, value: dict) -> bool:
+    """Value-pattern match parity (reference _value_match,
+    jsonld.py:4946-4977): an empty pattern matches any value; otherwise the
+    value's @type/@language must be absent when the pattern omits them
+    (languages compared case-sensitively, as the reference does)."""
     v1, t1, l1 = value.get("@value"), value.get("@type"), value.get("@language")
-    v2 = arrayify(pattern.get("@value"))
-    t2 = arrayify(pattern.get("@type"))
-    l2 = arrayify(pattern.get("@language"))
+    v2 = _get_values(pattern, "@value")
+    t2 = _get_values(pattern, "@type")
+    l2 = _get_values(pattern, "@language")
     if not v2 and not t2 and not l2:
         return True
-    if not (not v2 or v1 in v2 or v2 == [{}]):
+    if not (v1 in v2 or (v2 and _is_empty_object(v2[0]))):
         return False
-    if not (not t2 or t1 in t2 or (t2 == [{}] and t1 is not None)):
+    if not (
+        (not t1 and not t2) or (t1 in t2) or (t1 and t2 and _is_empty_object(t2[0]))
+    ):
         return False
-    l1n = l1.lower() if isinstance(l1, str) else l1
-    l2n = [x.lower() if isinstance(x, str) else x for x in l2]
-    if not (not l2 or l1n in l2n or (l2 == [{}] and l1 is not None)):
-        return False
-    return True
+    return (
+        (not l1 and not l2) or (l1 in l2) or (l1 and l2 and _is_empty_object(l2[0]))
+    )
 
 
-def _node_match(state: FrameState, pattern: dict, value: dict) -> bool:
+def _node_match(state: FrameState, pattern: dict, value: dict, flags: dict) -> bool:
+    """Node-pattern match parity (reference _node_match, jsonld.py:4932-4944):
+    the parent frame's flags flow through (NOT hard-coded requireAll)."""
     id_ = value.get("@id")
     if id_ is None:
         return False
     node = state.subjects.get(id_)
-    if node is None:
-        return False
-    return filter_subject(state, node, pattern, flags={"requireAll": True})
+    return bool(node) and filter_subject(state, node, pattern, flags)
 
 
 def filter_subject(state: FrameState, subject: dict, frame: dict, flags: dict) -> bool:
+    """Subject-vs-frame match parity (reference _filter_subject,
+    jsonld.py:4737-4861). Control-flow points the reference relies on:
+
+    - @id: with requireAll=False the @id decision is returned IMMEDIATELY —
+      later constraints cannot veto it (jsonld.py:4771-4772).
+    - @type: same early return, but only on the specific-type branch
+      (jsonld.py:4790-4791); @type:[] / @type:[{}] fall through.
+    - a property pattern with @default only *skips* (no matches_some) when
+      the node lacks the property; when present it is an ordinary object
+      pattern (presence test).
+    - non-value non-reference object patterns test presence only; deep
+      matching happens during recursion, except {"@id": ...}-only references
+      which recurse into filter_subject via _node_match.
+    """
     require_all = flags.get("requireAll", False)
     wildcard = True
     matches_some = False
     for key in sorted(frame):
         v = frame[key]
-        has_key = key in subject
+        match_this = False
+        node_values = _get_values(subject, key)
+        is_empty = isinstance(v, list) and len(v) == 0
+
         if key == "@id":
             ids = v if isinstance(v, list) else [v]
-            wildcard = False
-            if ids == [] or ids == [{}]:
-                matched = True
+            if len(ids) == 0 or _is_empty_object(ids[0]):
+                match_this = True
             else:
-                matched = subject.get("@id") in ids
-            if not matched:
-                return False
-            matches_some = True
-            continue
-        if key == "@type":
+                match_this = bool(node_values) and node_values[0] in ids
+            if not require_all:
+                return match_this
+        elif key == "@type":
             wildcard = False
             types = v if isinstance(v, list) else [v]
-            node_types = subject.get("@type", [])
-            if types == []:
-                matched = not node_types
-            elif types == [{}]:
-                matched = bool(node_types)
-            elif any(isinstance(t, dict) and "@default" in t for t in types):
-                matched = True
-            else:
-                matched = bool(set(types) & set(node_types))
-            if not matched:
-                return False
-            matches_some = True
-            continue
-        if is_keyword(key):
-            continue
-        wildcard = False
-        subframe = v[0] if isinstance(v, list) and v and isinstance(v[0], dict) else (
-            v if isinstance(v, dict) else {}
-        )
-        has_default = isinstance(subframe, dict) and "@default" in subframe
-        values = subject.get(key, [])
-        if isinstance(v, list) and v == []:
-            # match none: property must be absent
-            if values:
-                return False
-            matches_some = True
-            continue
-        if has_default:
-            matches_some = True
-            continue
-        if not values:
-            if require_all:
-                return False
-            continue
-        # property present: check value patterns
-        if isinstance(v, list) and v and isinstance(v[0], dict) and v != [{}]:
-            pat = v[0]
-            if is_value_object(pat):
-                if not any(
-                    is_value_object(val) and _value_match(pat, val) for val in values
-                ):
+            if is_empty:
+                if node_values:
                     return False
-            elif not is_list_object(pat) and "@value" not in pat and any(
-                k2 for k2 in pat if not is_keyword(k2)
-            ) or "@id" in pat or "@type" in pat:
-                if "@value" not in pat and not is_list_object(pat):
-                    if not any(
-                        isinstance(val, dict) and "@id" in val
-                        and _node_match(state, pat, val) for val in values
+                match_this = True
+            elif len(types) == 1 and _is_empty_object(types[0]):
+                match_this = bool(node_values)
+            else:
+                for tv in types:
+                    if isinstance(tv, dict) and "@default" in tv:
+                        match_this = True
+                    elif not match_this:
+                        match_this = tv in node_values
+                if not require_all:
+                    return match_this
+        elif is_keyword(key):
+            continue
+        else:
+            this_frame_vals = _get_values(frame, key)
+            this_frame = this_frame_vals[0] if this_frame_vals else None
+            has_default = False
+            if this_frame is not None:
+                validate_frame([this_frame])
+                has_default = (
+                    isinstance(this_frame, dict) and "@default" in this_frame
+                )
+            wildcard = False
+            if not node_values and has_default:
+                # skip, but allow match: a default fills in later
+                continue
+            if node_values and is_empty:
+                # match none: property must be absent
+                return False
+            if this_frame is None:
+                if node_values:
+                    return False
+                match_this = True
+            elif is_list_object(this_frame):
+                list_value = (
+                    this_frame["@list"][0] if this_frame["@list"] else None
+                )
+                if node_values and is_list_object(node_values[0]):
+                    node_list_values = node_values[0]["@list"]
+                    if is_value_object(list_value):
+                        match_this = any(
+                            _value_match(list_value, lv)
+                            for lv in node_list_values
+                        )
+                    elif _is_subject(list_value) or _is_subject_reference(
+                        list_value
                     ):
-                        return False
-        matches_some = True
+                        match_this = any(
+                            isinstance(lv, dict)
+                            and _node_match(state, list_value, lv, flags)
+                            for lv in node_list_values
+                        )
+            elif is_value_object(this_frame):
+                match_this = any(
+                    _value_match(this_frame, nv) for nv in node_values
+                )
+            elif _is_subject_reference(this_frame):
+                match_this = any(
+                    isinstance(nv, dict)
+                    and _node_match(state, this_frame, nv, flags)
+                    for nv in node_values
+                )
+            elif isinstance(this_frame, dict):
+                match_this = bool(node_values)
+            else:
+                match_this = False
+
+        if not match_this and require_all:
+            return False
+        matches_some = matches_some or match_this
     return wildcard or matches_some
 
 
@@ -268,12 +358,11 @@ def _is_subject_reference(v) -> bool:
 
 def match_frame(state: FrameState, subjects: list, frame, parent, property,
                 embedded: bool = False) -> None:
-    frame_obj = {}
-    if isinstance(frame, list):
-        if frame and isinstance(frame[0], dict):
-            frame_obj = frame[0]
-    elif isinstance(frame, dict):
-        frame_obj = frame
+    if isinstance(frame, dict):
+        frame = [frame]
+    # every recursion validates its frame (reference jsonld.py:4350)
+    validate_frame(frame)
+    frame_obj = frame[0]
     options = state.options
     flags = {
         "embed": _get_flag(frame_obj, options, "embed"),
@@ -407,8 +496,13 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
                         state, [item["@id"]], sub, output, prop, embedded=True
                     )
                 else:
+                    # non-list non-reference values pass through the value
+                    # pattern unconditionally — even when the pattern is not
+                    # itself a value object (reference jsonld.py:4550: a
+                    # @type-only pattern has no @value list, so every literal
+                    # fails its first check and is dropped)
                     sf0 = sub[0] if sub and isinstance(sub[0], dict) else {}
-                    if is_value_object(item) and is_value_object(sf0) and not _value_match(sf0, item):
+                    if not _value_match(sf0, item):
                         continue
                     add_frame_output(output, prop, copy.deepcopy(item))
 
@@ -443,9 +537,12 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
                 ):
                     rev = output.setdefault("@reverse", {})
                     rev.setdefault(reverse_prop, [])
+                    # the reference's reverse recursion misspells 'embedded'
+                    # (jsonld.py:4595 'embeded'), so the embedded flag is NOT
+                    # set — reverse-embedded nodes keep the caller's flag
                     match_frame(
                         state, [subject_id], subframe, rev[reverse_prop],
-                        property, embedded=True,
+                        property, embedded=embedded,
                     )
 
         add_frame_output(parent, property, output)

@@ -19,39 +19,161 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-def frame_subject_filter(triples: DataFrame, expanded_frame: list) -> DataFrame:
+def frame_subject_filter(
+    triples: DataFrame, expanded_frame: list, options: dict | None = None
+) -> DataFrame:
     """Subjects matching the frame's top-level @type / @id / property
-    constraints, as pure relational ops over (doc_id, subj, pred, ...).
+    constraints, as pure relational ops over (doc_id, subj, ...).
 
-    Returns distinct (doc_id, subj). This is the scale path: at 10^12 triples
-    the frame prunes the corpus *before* any per-document work — so the
-    candidate set is seeded from the most selective constraint (a filtered
-    scan that Catalyst pushes down), never from a full-corpus distinct. Only
-    a constraint-free wildcard frame pays the distinct-all shuffle.
+    Returns distinct (doc_id, subj) — a SUPERSET of the subjects the exact
+    matcher (jsonld.frame.filter_subject) admits, never a subset: the full
+    algorithm re-runs per candidate document, so over-selection costs time
+    while under-selection silently drops matches.
+
+    Mirrors the reference's requireAll semantics (jsonld.py:4737-4861):
+
+    - requireAll=False (default): @id, if present, is DECISIVE (early
+      return) — all other constraints are ignored. Otherwise a specific
+      @type is decisive. Otherwise matching is matches-SOME over property
+      patterns: the candidate set is the UNION of subjects carrying any
+      frame property (one filtered scan, pred IN (...)), and a match-none
+      ([]) or @default pattern admits absent-property subjects, so those
+      degrade to all-subjects.
+    - requireAll=True: every constraint must hold — @id filter, @type
+      semi/anti join, per-property presence semi-joins and match-none
+      anti-joins, exactly the intersective shape.
+
+    This is the scale path: at 10^12 triples the frame prunes the corpus
+    *before* any per-document work, seeded from a filtered scan Catalyst
+    pushes down. Only a wildcard-ish frame pays the distinct-all shuffle.
     """
     frame = expanded_frame[0] if expanded_frame else {}
+    require_all = bool((options or {}).get("requireAll", False))
+    ra = frame.get("@requireAll")
+    if isinstance(ra, list) and ra:
+        ra = ra[0]
+    if isinstance(ra, dict) and "@value" in ra:
+        ra = ra["@value"]
+    if ra is not None:
+        require_all = bool(ra)
+
     types = frame.get("@type")
-    has_type_constraint = (
-        isinstance(types, list) and bool(types) and not isinstance(types[0], dict)
-    )
     ids = frame.get("@id")
     has_id_constraint = (
         isinstance(ids, list) and bool(ids) and not isinstance(ids[0], dict)
     )
+    # a @type list containing a {"@default": ...} object always matches
+    type_has_default = isinstance(types, list) and any(
+        isinstance(t, dict) and "@default" in t for t in types
+    )
+    specific_types = (
+        [t for t in types if isinstance(t, str)]
+        if isinstance(types, list)
+        else []
+    )
+    has_specific_type = bool(specific_types) and not type_has_default
+    type_match_none = types == []
+    type_wildcard = isinstance(types, list) and types == [{}]
+
     props = [p for p in frame if not p.startswith("@")]
     required = [p for p in props if frame[p] != []]
     forbidden = [p for p in props if frame[p] == []]
+    # a property pattern with @default matches whether or not the property
+    # is present — it constrains nothing relationally
+    defaulted = {
+        p
+        for p in required
+        if isinstance(frame[p], list)
+        and frame[p]
+        and isinstance(frame[p][0], dict)
+        and "@default" in frame[p][0]
+    }
+    required = [p for p in required if p not in defaulted]
 
-    # seed: most selective positive constraint first (@type ≺ required
-    # property ≺ wildcard). @id is a pure filter applied to any seed.
-    if has_type_constraint:
-        out = (
+    def subjects_where(cond) -> DataFrame:
+        """Node-map subjects whose IRI satisfies ``cond`` — the node map
+        includes referenced-only stubs (nodes occurring solely as IRI/bnode
+        objects or as named-graph names), so the universe is
+        subj ∪ non-literal non-rdf:type obj ∪ graph names (a node's @type
+        IRIs do NOT become node-map subjects). All filters push down into
+        the scan."""
+        subj_side = triples.filter(cond(F.col("subj"))).select("doc_id", "subj")
+        obj_side = triples.filter(
+            (F.col("obj_kind") != "literal")
+            & (F.col("pred") != RDF_TYPE)
+            & cond(F.col("obj_value"))
+        ).select("doc_id", F.col("obj_value").alias("subj"))
+        sides = [subj_side, obj_side]
+        if "graph" in triples.columns:
+            sides.append(
+                triples.filter(
+                    (F.col("graph") != "@default") & cond(F.col("graph"))
+                ).select("doc_id", F.col("graph").alias("subj"))
+            )
+        out = sides[0]
+        for s in sides[1:]:
+            out = out.unionByName(s)
+        return out.distinct()
+
+    def all_subjects() -> DataFrame:
+        return subjects_where(lambda c: F.lit(True))
+
+    def typed_subjects(type_list: list) -> DataFrame:
+        return (
             triples.filter(
-                (F.col("pred") == RDF_TYPE) & F.col("obj_value").isin(types)
+                (F.col("pred") == RDF_TYPE) & F.col("obj_value").isin(type_list)
             )
             .select("doc_id", "subj")
             .distinct()
         )
+
+    if not require_all:
+        if "@id" in frame:
+            # early return on @id (reference jsonld.py:4771-4772)
+            if has_id_constraint:
+                return subjects_where(lambda c: c.isin(ids))
+            return all_subjects()  # wildcard @id matches everything
+        if has_specific_type:
+            # early return on specific @type (reference jsonld.py:4790-4791)
+            return typed_subjects(specific_types)
+        if type_has_default:
+            return all_subjects()
+        if forbidden or defaulted:
+            # an absent property satisfies a [] / @default pattern, so any
+            # subject can match — no relational pruning possible
+            return all_subjects()
+        if type_wildcard:
+            # has-a-type OR any property pattern could contribute matches_some
+            if required:
+                return all_subjects()
+            return (
+                triples.filter(F.col("pred") == RDF_TYPE)
+                .select("doc_id", "subj")
+                .distinct()
+            )
+        if type_match_none:
+            # nodes carrying a type are rejected outright
+            out = all_subjects().join(
+                triples.filter(F.col("pred") == RDF_TYPE)
+                .select("doc_id", "subj")
+                .distinct(),
+                ["doc_id", "subj"],
+                "left_anti",
+            )
+            return out
+        if required:
+            # matches-some: union of subjects carrying ANY frame property —
+            # a single scan with pred IN (...), not one join per property
+            return (
+                triples.filter(F.col("pred").isin(required))
+                .select("doc_id", "subj")
+                .distinct()
+            )
+        return all_subjects()
+
+    # requireAll=True: intersective
+    if has_specific_type:
+        out = typed_subjects(specific_types)
     elif required:
         out = (
             triples.filter(F.col("pred") == required[0])
@@ -60,10 +182,25 @@ def frame_subject_filter(triples: DataFrame, expanded_frame: list) -> DataFrame:
         )
         required = required[1:]
     else:
-        # wildcard frame: every subject is a candidate
-        out = triples.select("doc_id", "subj").distinct()
+        out = all_subjects()
     if has_id_constraint:
         out = out.filter(F.col("subj").isin(ids))
+    if type_wildcard:
+        out = out.join(
+            triples.filter(F.col("pred") == RDF_TYPE)
+            .select("doc_id", "subj")
+            .distinct(),
+            ["doc_id", "subj"],
+            "left_semi",
+        )
+    elif type_match_none:
+        out = out.join(
+            triples.filter(F.col("pred") == RDF_TYPE)
+            .select("doc_id", "subj")
+            .distinct(),
+            ["doc_id", "subj"],
+            "left_anti",
+        )
     for prop in required:
         has = triples.filter(F.col("pred") == prop).select(
             "doc_id", "subj"
@@ -115,21 +252,22 @@ def frame_documents(docs: DataFrame, frame_doc: dict,
 
 
 def frame_corpus(docs: DataFrame, triples: DataFrame, frame_doc: dict,
-                 id_col: str = "conv_id") -> DataFrame:
+                 id_col: str = "conv_id",
+                 options: dict | None = None) -> DataFrame:
     """End-to-end corpus framing: relational pre-filter on the triples table
     selects candidate documents, then per-document framing embeds them."""
-    candidate_docs = _frame_candidates(docs, triples, frame_doc, id_col)
+    candidate_docs = _frame_candidates(docs, triples, frame_doc, id_col, options)
     return frame_documents(candidate_docs, frame_doc, id_col=id_col)
 
 
 def _frame_candidates(docs: DataFrame, triples: DataFrame, frame_doc: dict,
-                      id_col: str) -> DataFrame:
+                      id_col: str, options: dict | None = None) -> DataFrame:
     from pyld_spark.jsonld import api
 
     expanded_frame = api.expand(
         frame_doc, {"isFrame": True, "keepFreeFloatingNodes": True}
     )
-    subjects = frame_subject_filter(triples, expanded_frame)
+    subjects = frame_subject_filter(triples, expanded_frame, options)
     return docs.join(
         subjects.select("doc_id").distinct(),
         docs[id_col] == F.col("doc_id"), "left_semi",
@@ -147,7 +285,8 @@ FRAMED_STATS_SCHEMA = StructType(
 
 
 def frame_corpus_stats(docs: DataFrame, triples: DataFrame, frame_doc: dict,
-                       id_col: str = "conv_id", list_prop: str = "turns") -> DataFrame:
+                       id_col: str = "conv_id", list_prop: str = "turns",
+                       options: dict | None = None) -> DataFrame:
     """Corpus framing with SQL-reconstructable output: for each matched
     document, the matched node's @type, the number of embedded ``list_prop``
     nodes, and md5 over the comma-joined embedded @ids *in list order* — so
@@ -157,17 +296,20 @@ def frame_corpus_stats(docs: DataFrame, triples: DataFrame, frame_doc: dict,
     import hashlib
 
     frame_json = json.dumps(frame_doc)
-    candidate_docs = _frame_candidates(docs, triples, frame_doc, id_col)
+    candidate_docs = _frame_candidates(docs, triples, frame_doc, id_col, options)
+
+    opts_json = json.dumps(options or {})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyld_spark.jsonld import api
 
         frame = json.loads(frame_json)
+        frame_opts = json.loads(opts_json)
         for pdf in batches:
             rows = []
             for doc_id, doc_json in zip(pdf[id_col], pdf["doc"]):
                 try:
-                    framed = api.frame(json.loads(doc_json), frame)
+                    framed = api.frame(json.loads(doc_json), frame, dict(frame_opts))
                 except Exception:  # noqa: BLE001 — quarantine, never crash
                     rows.append((doc_id, None, None, None))
                     continue

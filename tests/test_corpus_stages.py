@@ -25,15 +25,34 @@ def test_frame_subject_filter_prunes(spark, sf_dir):
     docs, triples = _triples(spark, sf_dir)
     frame = {"@context": {"@vocab": VOCAB}, "@type": "Turn", "tool": {}}
     expanded = api.expand(frame, {"isFrame": True, "keepFreeFloatingNodes": True})
-    subjects = frame_subject_filter(triples, expanded)
-    rows = subjects.collect()
-    assert rows
-    # every selected subject is a Turn with a tool triple
+    typed_subjects = {
+        (r.doc_id, r.subj)
+        for r in triples.filter(
+            f"pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' "
+            f"and obj_value = '{VOCAB}Turn'"
+        ).collect()
+    }
     tool_subjects = {
         (r.doc_id, r.subj)
         for r in triples.filter(f"pred = '{VOCAB}tool'").collect()
     }
-    assert all((r.doc_id, r.subj) in tool_subjects for r in rows)
+    # requireAll=False (default): a specific @type is DECISIVE (reference
+    # early return, jsonld.py:4790-4791) — every Turn is a candidate even
+    # without a tool triple
+    rows = {
+        (r.doc_id, r.subj)
+        for r in frame_subject_filter(triples, expanded).collect()
+    }
+    assert rows == typed_subjects
+    # requireAll=True: intersective — Turn AND has tool
+    rows_all = {
+        (r.doc_id, r.subj)
+        for r in frame_subject_filter(
+            triples, expanded, {"requireAll": True}
+        ).collect()
+    }
+    assert rows_all == typed_subjects & tool_subjects
+    assert rows_all < rows  # the tool constraint actually prunes
 
 
 def test_frame_corpus_matches_reference(spark, sf_dir):

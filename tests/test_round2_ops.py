@@ -122,12 +122,12 @@ def test_frame_type_prefilter_avoids_full_distinct(spark):
 
     triples = spark.createDataFrame(
         [
-            ("d1", "s1", RDF_TYPE, "T"),
-            ("d1", "s1", "p", "v"),
-            ("d1", "s2", "p", "v"),
-            ("d2", "s3", RDF_TYPE, "T"),
+            ("d1", "s1", RDF_TYPE, "T", "IRI"),
+            ("d1", "s1", "p", "v", "literal"),
+            ("d1", "s2", "p", "v", "literal"),
+            ("d2", "s3", RDF_TYPE, "T", "IRI"),
         ],
-        ["doc_id", "subj", "pred", "obj_value"],
+        ["doc_id", "subj", "pred", "obj_value", "obj_kind"],
     )
     typed = frame_subject_filter(triples, [{"@type": ["T"]}])
     assert {(r.doc_id, r.subj) for r in typed.collect()} == {("d1", "s1"), ("d2", "s3")}

@@ -403,11 +403,31 @@ def _q_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_corpus_stats(docs, triples, frame_doc)
 
 
+def _q_framed_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-constrained frame under requireAll=True: Turn nodes that
+    carry a tool property. Exercises the relational pre-filter's
+    type-semi-join ∩ property-semi-join path (frame_subject_filter,
+    requireAll branch) — gate-invisible before round 3 — plus per-node
+    embedding order and literal content."""
+    from pyld_spark.operators.frame_stage import frame_match_stats
+    from pyld_spark.transcripts import VOCAB as _V
+
+    ensure_workers_can_import(spark)
+    docs = assemble_documents(transcripts_from_events(spark, sf_dir))
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    frame_doc = {"@context": {"@vocab": _V}, "@type": "Turn", "tool": {}}
+    return frame_match_stats(
+        docs, triples, frame_doc, value_prop="tool",
+        options={"requireAll": True},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "list_chain_lengths": _q_list_chain_lengths,
         "fromrdf_roundtrip": _q_fromrdf_roundtrip,
         "framed_conversations": _q_framed,
+        "framed_tool_turns": _q_framed_tool_turns,
         "transcripts_from_events": _q_transcripts,
         "assembly_stats": _q_assembly_stats,
         "turn_literal_triples": _q_turn_triples,
@@ -939,6 +959,19 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(turn_idx AS STRING)),
                                   ',' ORDER BY turn_idx)) AS turns_md5
             FROM transcripts GROUP BY conv_id""",
+        "framed_tool_turns": f"""{_T_CTE}
+            SELECT conv_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matched,
+                   md5(string_agg(turn_iri, ',' ORDER BY turn_iri)) AS ids_md5,
+                   md5(string_agg(tool, ',' ORDER BY turn_iri)) AS vals_md5
+            FROM (
+              SELECT conv_id,
+                     concat('{_CONV}', conv_id, '/turn/',
+                            CAST(turn_idx AS STRING)) AS turn_iri,
+                     tool
+              FROM transcripts WHERE tool IS NOT NULL
+            ) tool_turns
+            GROUP BY conv_id""",
         "canonical_nquads": canonical_oracle,
         "flatten_corpus": f"""{_T_CTE},
             ids AS (

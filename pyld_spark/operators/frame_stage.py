@@ -274,6 +274,77 @@ def _frame_candidates(docs: DataFrame, triples: DataFrame, frame_doc: dict,
     )
 
 
+FRAME_MATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_matched", LongType(), True),
+        StructField("ids_md5", StringType(), True),
+        StructField("vals_md5", StringType(), True),
+    ]
+)
+
+
+def frame_match_stats(docs: DataFrame, triples: DataFrame, frame_doc: dict,
+                      id_col: str = "conv_id", value_prop: str = "tool",
+                      options: dict | None = None) -> DataFrame:
+    """Corpus framing with SQL-reconstructable per-document MATCH stats: the
+    number of top-level matched nodes, md5 over their @ids in framed (sorted)
+    order, and md5 over each matched node's ``value_prop`` literal in the
+    same order. Documents with zero matches emit no row — so the oracle
+    certifies the relational pre-filter's document pruning AND the exact
+    matcher's per-node decisions (reference _filter_subject semantics,
+    jsonld.py:4737-4861) in one query."""
+    import hashlib
+
+    frame_json = json.dumps(frame_doc)
+    opts_json = json.dumps(options or {})
+    candidate_docs = _frame_candidates(docs, triples, frame_doc, id_col, options)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyld_spark.jsonld import api
+
+        frame = json.loads(frame_json)
+        frame_opts = json.loads(opts_json)
+        for pdf in batches:
+            rows = []
+            for doc_id, doc_json in zip(pdf[id_col], pdf["doc"]):
+                try:
+                    framed = api.frame(json.loads(doc_json), frame,
+                                       dict(frame_opts))
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    rows.append((doc_id, None, None, None))
+                    continue
+                nodes = framed.get("@graph")
+                if nodes is None:
+                    nodes = [framed]
+                matched = [
+                    n for n in nodes
+                    if isinstance(n, dict) and isinstance(n.get("@id"), str)
+                ]
+                if not matched:
+                    continue
+                ids = [n["@id"] for n in matched]
+                vals = []
+                for n in matched:
+                    v = n.get(value_prop)
+                    if isinstance(v, list):
+                        v = v[0] if v else None
+                    if isinstance(v, dict):
+                        v = v.get("@value")
+                    vals.append("" if v is None else str(v))
+                rows.append((
+                    doc_id,
+                    len(matched),
+                    hashlib.md5(",".join(ids).encode("utf-8")).hexdigest(),
+                    hashlib.md5(",".join(vals).encode("utf-8")).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_matched", "ids_md5", "vals_md5"]
+            )
+
+    return candidate_docs.mapInPandas(run, FRAME_MATCH_SCHEMA)
+
+
 FRAMED_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", StringType(), False),

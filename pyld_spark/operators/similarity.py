@@ -51,48 +51,55 @@ def _two_phase_topk(
 ) -> DataFrame:
     """Top-k rows per query by (score DESC, id ASC), two-phase.
 
-    Phase 1: groupBy (physical partition, query) keeps only k rows per group
-    (map-side complete — the shuffle carries k-length arrays, not candidates;
-    transient memory per group is that partition's candidate rows for one
-    query, bounded by ``spark.sql.files.maxPartitionBytes`` like any
-    per-partition sort). Phase 2: a window over the ≤ k × n_partitions
-    survivors per query ranks the true top-k. Results are identical to the
-    single-window form, which would instead send EVERY candidate row of a
-    query to one reducer.
+    Phase 1: a partition-local Arrow-batched fold (mapInPandas — no shuffle,
+    it consumes the scoring stage's output in place) keeps the k best rows
+    per query seen so far. Aggregation state is HARD-BOUNDED at
+    O(n_queries_in_partition × k) rows regardless of partition size — the
+    round-2 collect_list form instead buffered each (partition, query)
+    group's full candidate list before slicing. Each step touches only
+    state + one Arrow batch, so transient memory is state + batch.
+    Phase 2: a window over the ≤ k × n_partitions survivors per query ranks
+    the true top-k. Results are identical to the single-window form, which
+    would instead send EVERY candidate row of a query to one reducer.
     """
     keep = [c for c in scored.columns if c not in (query_id_col, score_col, id_col)]
-    partial = (
-        scored.groupBy(F.spark_partition_id().alias("_p"), query_id_col)
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col(score_col)).alias("_neg_score"),
-                            F.col(id_col).alias(id_col),
-                            F.col(score_col).alias(score_col),
-                            *[F.col(c).alias(c) for c in keep],
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("_top")
-        )
-        .select(query_id_col, F.explode("_top").alias("_t"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.asc(F.col("_t._neg_score")), F.asc(F.col("_t." + id_col))
-    )
+    schema = scored.schema
+    qcol, scol, icol = query_id_col, score_col, id_col
+
+    def local_topk(batches):
+        import pandas as pd
+
+        state = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            combined = (
+                pdf
+                if state is None
+                else pd.concat([state, pdf], ignore_index=True)
+            )
+            # stable sort → ties broken by id ASC, matching phase 2's order
+            combined = combined.sort_values(
+                [qcol, scol, icol],
+                ascending=[True, False, True],
+                kind="mergesort",
+                ignore_index=True,
+            )
+            state = combined.groupby(qcol, sort=False).head(k)
+        if state is not None and len(state):
+            yield state
+
+    partial = scored.mapInPandas(local_topk, schema)
+    w = Window.partitionBy(qcol).orderBy(F.desc(scol), F.asc(icol))
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            query_id_col,
-            F.col("_t." + id_col).alias(id_col),
+            qcol,
+            icol,
             F.col("rank").cast("int").alias("rank"),
-            F.col("_t." + score_col).alias(score_col),
-            *[F.col("_t." + c).alias(c) for c in keep],
+            scol,
+            *keep,
         )
     )
 

@@ -74,6 +74,64 @@ CANON_FIXTURES = {
         "@id": EX + "a",
         "p": [{"q": 1}, {"q": 1.5}, {"q": True}, {"q": {"@value": "s", "@language": "en"}}],
     },
+    "four_cycle_pendant": {
+        # automorphic 4-cycle broken only by one pendant literal — URGNA2012's
+        # sha1/position rules and URDNA2015's related-hash rules diverge
+        # exactly here
+        "@context": {"@vocab": EX},
+        "@graph": [
+            {"@id": "_:a", "n": {"@id": "_:b"}, "m": "x"},
+            {"@id": "_:b", "n": {"@id": "_:c"}},
+            {"@id": "_:c", "n": {"@id": "_:d"}},
+            {"@id": "_:d", "n": {"@id": "_:a"}},
+        ],
+    },
+    "twin_subtrees_depth2": {
+        # identical first-degree hashes; only depth-2 leaves differ
+        "@context": {"@vocab": EX},
+        "@graph": [
+            {"@id": "_:r", "c": [{"@id": "_:l"}, {"@id": "_:m"}]},
+            {"@id": "_:l", "v": {"@id": "_:l2"}},
+            {"@id": "_:m", "v": {"@id": "_:m2"}},
+            {"@id": "_:l2", "x": "1"},
+            {"@id": "_:m2", "x": "2"},
+        ],
+    },
+    "shared_sink": {
+        # two sources into one shared sink: r-position (URGNA2012) vs
+        # reference-direction rules (URDNA2015) stress
+        "@context": {"@vocab": EX},
+        "@graph": [
+            {"@id": "_:a", "p": {"@id": "_:c"}, "r": "only-a"},
+            {"@id": "_:b", "p": {"@id": "_:c"}},
+            {"@id": "_:c", "q": "leaf"},
+        ],
+    },
+    "star_permutation_stress": {
+        # one hub with 4 indistinguishable spokes: forces the permutation
+        # loop in hash-n-degree
+        "@context": {"@vocab": EX},
+        "@graph": [
+            {
+                "@id": "_:hub",
+                "s": [
+                    {"@id": "_:s1"}, {"@id": "_:s2"},
+                    {"@id": "_:s3"}, {"@id": "_:s4"},
+                ],
+            },
+            {"@id": "_:s1", "b": {"@id": "_:hub"}},
+            {"@id": "_:s2", "b": {"@id": "_:hub"}},
+            {"@id": "_:s3", "b": {"@id": "_:hub"}},
+            {"@id": "_:s4", "b": {"@id": "_:hub"}},
+        ],
+    },
+    "deep_chain_10": {
+        "@context": {"@vocab": EX},
+        "@graph": [
+            {"@id": f"_:n{i}", "next": {"@id": f"_:n{i + 1}"}}
+            for i in range(10)
+        ] + [{"@id": "_:n10", "end": "tail"}],
+    },
 }
 
 

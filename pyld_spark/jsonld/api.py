@@ -217,25 +217,17 @@ def frame(document, frame_doc, options: dict | None = None):
 
 
 def _cleanup_null(value):
-    """Map framing '@null' markers to JSON null / drop empties."""
+    """Map framing '@null' markers to JSON null, removing nulls from ARRAYS
+    only — object keys keep explicit null values (reference _cleanup_null,
+    jsonld.py:5041-5072: e.g. a compacted @json null literal stays as
+    "prop": null)."""
     if isinstance(value, list):
         out = [_cleanup_null(v) for v in value]
         return [v for v in out if v is not None]
-    if isinstance(value, dict):
-        out = {}
-        for k, v in value.items():
-            if v == "@null":
-                out[k] = None  # explicit null survives with its key
-                continue
-            if v is None and k != "@value":
-                continue
-            cleaned = _cleanup_null(v)
-            if cleaned is None and k != "@value":
-                continue
-            out[k] = cleaned
-        return out
     if value == "@null":
         return None
+    if isinstance(value, dict):
+        return {k: _cleanup_null(v) for k, v in value.items()}
     return value
 
 

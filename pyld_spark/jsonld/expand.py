@@ -367,7 +367,10 @@ def _expand_keyword(
     if expanded_property == "@id":
         if isinstance(value, str):
             expanded = expand_iri(active_ctx, value, document_relative=True)
-            result["@id"] = expanded
+            # frame expansion arrayifies @id (reference add_value
+            # propertyIsArray=isFrame, jsonld.py:2337-2382) — the relational
+            # pre-filter's @id pruning relies on the list form too
+            result["@id"] = [expanded] if frame else expanded
         elif frame and (
             value == {} or (isinstance(value, list) and all(isinstance(v, str) for v in value))
         ):
@@ -525,7 +528,9 @@ def _expand_keyword(
     if expanded_property in _FRAME_KEYWORDS:
         if frame or expanded_property == "@default":
             expanded = _expand(st, active_ctx, expanded_property, value, base_url)
-            if expanded is not None or expanded_property == "@default":
+            # a null framing keyword drops entirely — {"@default": null}
+            # expands to {} (reference jsonld.py:2671-2673)
+            if expanded is not None:
                 result[expanded_property] = arrayify(expanded)
         return
     if expanded_property == "@preserve":
@@ -599,6 +604,11 @@ def _expand_index_map(st, active_ctx, key, defn, container, value, base_url):
 
 def _expand_value(active_ctx: Context, active_property, value):
     """Value Expansion (JSON-LD 1.1 API §5.3.2)."""
+    if active_property in _FRAME_KEYWORDS:
+        # keyword-property values are not value-expanded: @embed/@explicit/
+        # @default/... keep their raw scalars (reference _expand_value
+        # 'do not expand keyword values', jsonld.py:2741-2743)
+        return value
     defn = active_ctx.terms.get(active_property)
     type_mapping = defn.type if defn is not None else None
 

@@ -33,7 +33,10 @@ class FrameState:
         self.subject_stack: list = []
         self.link: dict = {}
         self.unique_embeds: dict = {graph: {}}
-        self.bnodes_to_clear: set = set()
+        # bnode id → list of OUTPUT objects created for it (reference
+        # state['bnodeMap']); ids with exactly one output occurrence get
+        # their @id pruned afterwards
+        self.bnode_map: dict = {}
         self.options = options
 
     @property
@@ -75,7 +78,13 @@ def frame_expanded(
 
     result = cleanup_preserve(result, state)
     if o["pruneBlankNodeIdentifiers"]:
-        result = prune_bnode_ids(result, state)
+        # reference jsonld.py:2914-2917 + 5031-5032: prune @ids whose bnode
+        # produced exactly ONE output object during framing — even when that
+        # leaves an empty {} node
+        to_prune = {
+            id_ for id_, outs in state.bnode_map.items() if len(outs) == 1
+        }
+        result = prune_bnode_ids(result, to_prune)
     return result
 
 
@@ -303,7 +312,13 @@ def filter_subjects(state: FrameState, subjects: list, frame: dict, flags: dict)
 
 
 def _creates_circular_reference(state: FrameState, id_: str) -> bool:
-    return any(s["@id"] == id_ for s in state.subject_stack)
+    """Reference jsonld.py:4625-4642: the TOP stack entry (the immediate
+    parent) is excluded — a direct self-reference embeds one level before
+    the cycle is cut — and only same-graph ancestors count."""
+    return any(
+        entry["graph"] == state.graph and entry["subject"]["@id"] == id_
+        for entry in state.subject_stack[:-1]
+    )
 
 
 def add_frame_output(parent, property: str | None, output) -> None:
@@ -382,7 +397,7 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
             state.unique_embeds.setdefault(state.graph, {})
         output = {"@id": id_}
         if id_.startswith("_:"):
-            state.bnodes_to_clear.discard(id_)
+            state.bnode_map.setdefault(id_, []).append(output)
 
         if embed == "@link" and id_ in state.link:
             add_frame_output(parent, property, state.link[id_])
@@ -420,7 +435,7 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
             "parent": parent, "property": property,
         }
 
-        state.subject_stack.append(subject)
+        state.subject_stack.append({"subject": subject, "graph": state.graph})
 
         # named graph recursion (embedded resets — graph content is framed
         # from its own top level)
@@ -458,9 +473,11 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
                     output[prop] = copy.deepcopy(values)
                     continue
                 if prop == "@type":
+                    # bnode @type values count as output occurrences
+                    # (reference jsonld.py:4487-4496)
                     for t in values:
                         if t.startswith("_:"):
-                            state.bnodes_to_clear.discard(t)
+                            state.bnode_map.setdefault(t, []).append(output)
                     output["@type"] = list(values)
                 continue
             if flags["explicit"] and prop not in frame_obj:
@@ -568,34 +585,20 @@ def cleanup_preserve(input_, state: FrameState):
     return input_
 
 
-def _collect_bnode_refs(input_, counts: dict) -> None:
-    if isinstance(input_, list):
-        for v in input_:
-            _collect_bnode_refs(v, counts)
-    elif isinstance(input_, dict):
-        for k, v in input_.items():
-            if k == "@id" and isinstance(v, str) and v.startswith("_:"):
-                counts[v] = counts.get(v, 0) + 1
-            else:
-                _collect_bnode_refs(v, counts)
-
-
-def prune_bnode_ids(input_, state: FrameState):
-    """Drop @id entries for blank nodes that are referenced exactly once."""
-    counts: dict = {}
-    _collect_bnode_refs(input_, counts)
-    to_prune = {b for b, n in counts.items() if n == 1}
+def prune_bnode_ids(input_, to_prune: set):
+    """Drop @id entries for blank nodes with a single output occurrence
+    (reference _cleanup_preserve @id pop, jsonld.py:5031-5032 — value
+    objects never carry @id, so a plain tree walk matches)."""
 
     def prune(v):
         if isinstance(v, list):
             return [prune(x) for x in v]
         if isinstance(v, dict):
-            out = {}
-            for k, val in v.items():
-                if k == "@id" and val in to_prune and len(v) > 1:
-                    continue
-                out[k] = prune(val)
-            return out
+            return {
+                k: prune(val)
+                for k, val in v.items()
+                if not (k == "@id" and val in to_prune)
+            }
         return v
 
     return prune(input_)

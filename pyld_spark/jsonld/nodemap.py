@@ -280,7 +280,11 @@ def merge_node_map_graphs(node_map: dict) -> dict:
             for prop, values in node.items():
                 if prop == "@id":
                     continue
-                if is_keyword(prop):
+                # @type merges as an array union like any property — a node
+                # typed differently across graphs keeps ALL its types
+                # (reference jsonld.py:4325-4327: only non-@type keywords
+                # are copied wholesale)
+                if prop != "@type" and is_keyword(prop):
                     m[prop] = values
                     continue
                 for v in values:

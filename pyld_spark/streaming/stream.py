@@ -206,6 +206,7 @@ def stream_triples(
     output_path: str | None = None,
     watermark: str = "10 minutes",
     gap: str = "30 minutes",
+    max_files_per_trigger: int = 4,
 ):
     """Wire the full streaming pipeline; returns the StreamingQuery.
 
@@ -215,7 +216,9 @@ def stream_triples(
     from pyld_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
-    transcripts = read_transcript_stream(spark, input_path)
+    transcripts = read_transcript_stream(
+        spark, input_path, max_files_per_trigger=max_files_per_trigger
+    )
     docs = assemble_documents_stream(transcripts, watermark, gap)
     triples = docs_to_triples(docs)
     writer = (

@@ -64,3 +64,90 @@ def test_flatten_matches_reference(doc):
         assert equal_unordered(my_out, ref_out), (
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+# --- composite-frame fuzz (round-3: the requireAll early-return bug survived
+# two rounds of green suites because no fuzz generated @type+property-pattern
+# combos; this one generates 0-2 of {@id, @type} plus 0-2 property patterns
+# per frame, both requireAll settings, over random documents) ---
+
+_frame_bodies = st.fixed_dictionaries(
+    {},
+    optional={
+        "@id": st.sampled_from(
+            ["http://example.org/a", "http://example.org/zz",
+             ["http://example.org/a", "http://example.org/b"], {}]
+        ),
+        "@type": st.sampled_from(
+            ["T1", "T2", [], {}, {"@default": "T2"}, ["T1", "T2"]]
+        ),
+        "name": st.sampled_from(
+            [{"@value": "x"}, {}, [], {"@default": "d"},
+             {"@value": "x", "@language": "en"}, {"@value": {}}]
+        ),
+        "knows": st.sampled_from(
+            [{"@id": "http://example.org/a"}, {}, {"@type": "T2"},
+             {"@id": "http://example.org/a", "@embed": "@never"}]
+        ),
+        "items": st.sampled_from(
+            [{"@list": [{}]}, {"@list": []},
+             {"@list": [{"@value": "x"}]}, {}]
+        ),
+        "@requireAll": st.booleans(),
+        "@explicit": st.booleans(),
+        # @link excluded: it can emit shared/circular structures that
+        # json.dumps cannot serialize on either side
+        "@embed": st.sampled_from(["@once", "@always", "@never"]),
+        "@omitDefault": st.booleans(),
+    },
+)
+composite_frames = st.builds(
+    lambda b: {"@context": CONTEXT, **b}, _frame_bodies
+)
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(documents, composite_frames)
+def test_composite_frame_matches_reference(doc, frame):
+    import json
+
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+
+    def run(framer, err_type):
+        try:
+            return "ok", json.dumps(framer(), sort_keys=True)
+        except err_type as e:
+            code = getattr(e, "code", None)
+            cause = getattr(e, "cause", None) or getattr(e, "__cause__", None)
+            for _ in range(4):
+                if code is not None or cause is None:
+                    break
+                code, cause = getattr(cause, "code", None), (
+                    getattr(cause, "cause", None)
+                    or getattr(cause, "__cause__", None)
+                )
+            return "err", code
+        except Exception as e:  # noqa: BLE001 — processor crash (no code)
+            return "crash", type(e).__name__
+
+    r_kind, r_val = run(lambda: ref.frame(doc, frame), Exception)
+    if r_kind == "err" and r_val is None:
+        r_kind, r_val = "crash", "uncoded"
+    m_kind, m_val = run(lambda: api.frame(doc, frame), JsonLdError)
+
+    if r_kind == "crash":
+        # reference-processor bug (e.g. IndexError on match-none patterns
+        # admitted by an early-return @type): we must handle gracefully
+        assert m_kind == "ok", (m_kind, m_val)
+    else:
+        assert (m_kind, m_val) == (r_kind, r_val), (
+            f"\nframe={json.dumps(frame)}\ndoc={json.dumps(doc)[:400]}"
+            f"\nref =({r_kind}, {str(r_val)[:300]})"
+            f"\nmine=({m_kind}, {str(m_val)[:300]})"
+        )

@@ -141,26 +141,41 @@ def main() -> None:
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
     exec_cores = int(os.environ.get("EXEC_CORES", "2"))
     levels = (exec_cores, exec_cores * 4)
-    best: dict[int, dict] = {}
+    # best-of per METRIC, not per run: the run with the best triples stage is
+    # not necessarily the run with the best total wall (box noise is ±10%),
+    # and each efficiency ratio should compare each level's least-
+    # contaminated estimate of that metric
+    best_triples: dict[int, dict] = {}
+    best_total: dict[int, dict] = {}
     for i in range(trials):
         for cores in levels:  # alternate levels so drift hits both equally
             r = run_level(cores, n_convs, turns, exec_cores)
             print(json.dumps({"trial": i, **r}), flush=True)
-            if cores not in best or r["wall_triples"] < best[cores]["wall_triples"]:
-                best[cores] = r
+            if (
+                cores not in best_triples
+                or r["wall_triples"] < best_triples[cores]["wall_triples"]
+            ):
+                best_triples[cores] = r
+            if (
+                cores not in best_total
+                or r["wall_total"] < best_total[cores]["wall_total"]
+            ):
+                best_total[cores] = r
     lo, hi = levels
     eff = {
         "triples_stage": round(
-            best[hi]["triples_per_sec"] / best[lo]["triples_per_sec"] / 4.0, 3
+            best_triples[hi]["triples_per_sec"]
+            / best_triples[lo]["triples_per_sec"] / 4.0, 3
         ),
         "full_pipeline": round(
-            best[hi]["pipeline_triples_per_sec"]
-            / best[lo]["pipeline_triples_per_sec"] / 4.0, 3
+            best_total[hi]["pipeline_triples_per_sec"]
+            / best_total[lo]["pipeline_triples_per_sec"] / 4.0, 3
         ),
     }
     print(json.dumps({"mode": f"standalone 1 vs 4 executors ({exec_cores} cores each)",
                       "scaling_efficiency": eff,
-                      "levels": {str(k): v for k, v in best.items()}}))
+                      "levels_best_triples": {str(k): v for k, v in best_triples.items()},
+                      "levels_best_total": {str(k): v for k, v in best_total.items()}}))
 
 
 if __name__ == "__main__":

@@ -95,6 +95,134 @@ def _dropped(st: _State, key: str) -> None:
 
 
 _CACHE_MISS = object()
+_FAST_BAIL = object()
+
+
+def _ctx_fast_eligible(active_ctx: Context) -> bool:
+    """True when no term in the context carries a scoped context — then a
+    node's expansion can never change the active context mid-node (no
+    type-scoped or property-scoped application, no revert), which is the
+    gate for the plain-node fast path. Computed once per context object."""
+    cache = active_ctx._rt_cache
+    v = cache.get(("fast-ok",))
+    if v is None:
+        v = all(t.context is UNSET for t in active_ctx.terms.values())
+        cache[("fast-ok",)] = v
+    return v
+
+
+def _compile_fast_key(active_ctx: Context, key: str):
+    """Per-(context, key) dispatch for the fast path. Mirrors the
+    _expand_keys dispatch exactly; anything with non-plain behavior
+    (keywords other than literal @id/@type, containers, @reverse, @nest,
+    @json coercion, property index) routes back to the general algorithm."""
+    if key == "@context":
+        return ("bail",)
+    ep = _expand_key_iri(active_ctx, key)
+    if ep is None or not (
+        (isinstance(ep, str) and ":" in ep) or is_keyword(ep)
+    ):
+        return ("drop",)
+    if ep == "@id" and key == "@id":
+        return ("id",)
+    if ep == "@type" and key == "@type":
+        return ("type",)
+    if is_keyword(ep):
+        return ("bail",)
+    tdef = active_ctx.terms.get(key)
+    if tdef is not None and (
+        tdef.container
+        or tdef.reverse
+        or tdef.nest
+        or tdef.type == "@json"
+        or tdef.context is not UNSET
+        or tdef.index
+    ):
+        return ("bail",)
+    return ("p", ep)
+
+
+_SCALARS = (str, int, float, bool)
+
+
+def _fast_expand_node(st: _State, active_ctx: Context, element: dict):
+    """Specialized expansion for plain literal nodes — dicts whose keys are
+    literal @id/@type plus simple terms/vocab properties with scalar (or
+    flat scalar-list) values. This is the shape of every turn node in the
+    transcript corpus, so the per-node cost drops from a dozen interpreter
+    frames to one dispatch-cached loop. Returns _FAST_BAIL whenever any
+    key or value needs the general algorithm — values produced here are
+    byte-identical to the general path by construction (the same
+    _expand_value / expand_iri calls, the same drop rules)."""
+    cache = active_ctx._rt_cache
+    fd = cache.get(("fastd",))
+    if fd is None:
+        fd = {}
+        cache[("fastd",)] = fd
+        cache[("fastt",)] = {}
+    tcache = cache[("fastt",)]
+
+    result: dict = {}
+    dropped = None  # deferred: a later bail must not double-fire the hook
+    for key in sorted(element):
+        disp = fd.get(key)
+        if disp is None:
+            disp = _compile_fast_key(active_ctx, key)
+            fd[key] = disp
+        kind = disp[0]
+        value = element[key]
+        if kind == "p":
+            if value is None:
+                continue
+            if isinstance(value, _SCALARS):
+                result.setdefault(disp[1], []).append(
+                    _expand_value(active_ctx, key, value)
+                )
+            elif isinstance(value, list):
+                if not all(
+                    v is None or isinstance(v, _SCALARS) for v in value
+                ):
+                    return _FAST_BAIL
+                result.setdefault(disp[1], []).extend(
+                    _expand_value(active_ctx, key, v)
+                    for v in value
+                    if v is not None
+                )
+            else:
+                return _FAST_BAIL
+        elif kind == "id":
+            if not isinstance(value, str):
+                return _FAST_BAIL
+            result["@id"] = expand_iri(active_ctx, value, document_relative=True)
+        elif kind == "type":
+            if isinstance(value, str):
+                vals = (value,)
+            elif isinstance(value, list) and all(
+                isinstance(v, str) for v in value
+            ):
+                vals = value
+            else:
+                return _FAST_BAIL
+            ex = []
+            for t in vals:
+                e = tcache.get(t, _CACHE_MISS)
+                if e is _CACHE_MISS:
+                    e = expand_iri(
+                        active_ctx, t, vocab=True, document_relative=True
+                    )
+                    tcache[t] = e
+                ex.append(e)
+            result["@type"] = ex
+        elif kind == "drop":
+            if dropped is None:
+                dropped = []
+            dropped.append(key)
+        else:  # bail
+            return _FAST_BAIL
+    if dropped:
+        for key in dropped:
+            _dropped(st, key)
+    return result
 
 
 def _expand_key_iri(active_ctx: Context, key: str):
@@ -144,6 +272,26 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
         return result
 
     # --- map ---
+    # plain-literal-node fast path: no frame, no context switches possible
+    # (no scoped terms anywhere in the context, no revert pending, no local
+    # @context) — the hot shape of the transcript kernel
+    if (
+        not frame
+        and active_ctx.previous is None
+        and "@context" not in element
+        and _ctx_fast_eligible(active_ctx)
+    ):
+        fast = _fast_expand_node(st, active_ctx, element)
+        if fast is not _FAST_BAIL:
+            # same free-floating tail as the general path below
+            if active_property is None or active_property == "@graph":
+                if not st.keep_free_floating:
+                    if not fast or set(fast) == {"@id"}:
+                        return None
+                elif not fast:
+                    return None
+            return fast
+
     # revert term-scoped context unless starting a value object / single-@id ref
     if (
         active_ctx.previous is not None

@@ -254,6 +254,25 @@ def create_node_map(
         if prop.startswith("_:"):
             prop = issuer.get_id(prop)
         node.setdefault(prop, [])
+        # pure-literal fast path: a list of value objects needs none of the
+        # recursion machinery — each lands via the same add_value call the
+        # @value branch would make (subject_node there IS this node)
+        if isinstance(values, list) and all(
+            isinstance(v, dict)
+            and "@value" in v
+            and "@list" not in v
+            and not (
+                "@type" in v
+                and (
+                    not isinstance(v["@type"], str)
+                    or v["@type"].startswith("_:")
+                )
+            )
+            for v in values
+        ):
+            for v in values:
+                add_value(node, prop, v, allow_duplicate=False)
+            continue
         create_node_map(
             values, node_map, issuer, active_graph, id_, prop,
         )

@@ -151,3 +151,55 @@ def test_composite_frame_matches_reference(doc, frame):
             f"\nref =({r_kind}, {str(r_val)[:300]})"
             f"\nmine=({m_kind}, {str(m_val)[:300]})"
         )
+
+
+# --- cross-context compaction fuzz (round-3): the roundtrip fuzz above
+# compacts with the SAME context the document used; real engines compact
+# into a DIFFERENT target context — term selection, container packing,
+# @vocab-vs-CURIE preference and keyword aliasing all only trigger there ---
+
+EX = "http://example.org/"
+
+TARGET_CONTEXTS = [
+    {},  # no terms: absolute IRIs everywhere
+    {"@vocab": EX},
+    {"ex": EX},  # CURIE compaction
+    {"@vocab": EX, "nm": EX + "name", "kn": {"@id": EX + "knows", "@type": "@id"}},
+    {"items": {"@id": EX + "items", "@container": "@list"},
+     "byLang": {"@id": EX + "byLang", "@container": "@language"}},
+    {"id": "@id", "type": "@type", "@vocab": EX},  # keyword aliases
+    {"@vocab": EX, "label": {"@id": EX + "label", "@language": "en"},
+     "label_de": {"@id": EX + "label", "@language": "de"}},  # term selection
+    {"@vocab": EX, "graph": "@graph"},
+    {"@version": 1.1, "@vocab": EX,
+     "byIdx": {"@id": EX + "byIdx", "@container": "@index"}},
+    {"@version": 1.1, "@vocab": EX,
+     "T1": {"@id": EX + "T1", "@context": {"scoped": EX + "scoped"}}},
+]
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(documents, st.sampled_from(TARGET_CONTEXTS))
+def test_cross_context_compact_matches_reference(doc, target_ctx):
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    ref_out, ref_err = None, False
+    try:
+        ref_out = ref.compact(doc, {"@context": target_ctx})
+    except Exception:  # noqa: BLE001
+        ref_err = True
+    my_out, my_err = None, False
+    try:
+        my_out = api.compact(doc, target_ctx)
+    except JsonLdError:
+        my_err = True
+    assert my_err == ref_err, f"err mismatch mine={my_err} ref={ref_err}"
+    if not ref_err:
+        assert equal_unordered(my_out, ref_out), (
+            f"\nctx={target_ctx}\nmine={my_out!r}\nref ={ref_out!r}"
+        )

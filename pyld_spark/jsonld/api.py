@@ -12,6 +12,7 @@ from pyld_spark.jsonld.canon import canonize_quads
 from pyld_spark.jsonld.compact import compact as _compact_alg
 from pyld_spark.jsonld.compact import compact_iri
 from pyld_spark.jsonld.context import (
+    DEFAULT_BASE_IRI,
     Context,
     DocumentLoader,
     initial_context,
@@ -78,6 +79,13 @@ def expand(document, options: dict | None = None) -> list:
         if o.get("base") is None:
             o["base"] = remote.get("documentUrl", url)
     ctx = _make_context(o)
+    if ctx.base is None and ctx.original_base is None:
+        # the default document base must exist BEFORE any context is
+        # processed: a non-propagating context snapshots `previous` at
+        # process time, and a late default would leave that snapshot
+        # base-less (reference initializes base at option-parse time)
+        ctx.base = DEFAULT_BASE_IRI
+        ctx.original_base = DEFAULT_BASE_IRI
     if o.get("expandContext") is not None:
         ec = o["expandContext"]
         if isinstance(ec, dict) and "@context" in ec:
@@ -95,6 +103,7 @@ def expand(document, options: dict | None = None) -> list:
         frame_expansion=o.get("isFrame", False),
         keep_free_floating=o.get("keepFreeFloatingNodes", False),
         on_dropped=o.get("onPropertyDropped"),
+        context_preapplied=local_ctx is not None,
     )
 
 

@@ -95,6 +95,12 @@ class TermDef:
         return replace(self, protected=False) == replace(other, protected=False)
 
 
+#: The reference's synthetic document base when none is supplied
+#: (jsonld.py:157, applied at jsonld.py:6114-6115 whenever document-relative
+#: resolution runs with base '').
+DEFAULT_BASE_IRI = "http://example.org/base/"
+
+
 @dataclass
 class Context:
     terms: dict = field(default_factory=dict)
@@ -271,11 +277,24 @@ def process_context(
             if value is None:
                 result.vocab = None
             elif isinstance(value, str):
-                expanded = expand_iri(result, value, vocab=True, document_relative=True)
-                if not isinstance(expanded, str) or not (
-                    is_absolute_iri(expanded) or expanded.startswith("_:")
+                if (
+                    result.processing_mode == "json-ld-1.0"
+                    and not is_absolute_iri(value)
                 ):
-                    raise JsonLdError("@vocab must expand to IRI", "invalid vocab mapping")
+                    # only 1.0 requires an absolute @vocab (reference
+                    # jsonld.py:3436-3446); 1.1 resolves relative values
+                    raise JsonLdError(
+                        "@vocab must be an absolute IRI in 1.0",
+                        "invalid vocab mapping",
+                    )
+                # a relative @vocab resolves document-relatively: context
+                # @base if set, else the API base, else DEFAULT_BASE_IRI
+                # (fresh-process reference behavior; its in-process context
+                # cache can replay a context resolved under a DIFFERENT base
+                # option, but that is cache poisoning, not semantics)
+                expanded = expand_iri(
+                    result, value, vocab=True, document_relative=True
+                )
                 result.vocab = expanded
             else:
                 raise JsonLdError("@vocab must be string or null", "invalid vocab mapping")

@@ -30,8 +30,10 @@ _FRAME_KEYWORDS = {"@default", "@embed", "@explicit", "@omitDefault", "@requireA
 
 #: Reference parity: when no document base is supplied, the reference resolves
 #: document-relative IRIs against this synthetic base
-#: (/root/reference/lib/pyld/jsonld.py:157, 6112-6115).
-DEFAULT_BASE_IRI = "http://example.org/base/"
+#: (/root/reference/lib/pyld/jsonld.py:157, 6112-6115). Canonical definition
+#: lives in context.py (context processing needs it too); re-exported here
+#: for existing importers.
+from pyld_spark.jsonld.context import DEFAULT_BASE_IRI  # noqa: E402
 
 
 def is_node_object(v) -> bool:
@@ -61,8 +63,15 @@ def expand(
     frame_expansion: bool = False,
     keep_free_floating: bool = False,
     on_dropped=None,
+    context_preapplied: bool = False,
 ) -> list:
     """Expand ``document`` against a pre-processed active ``context``.
+
+    ``context_preapplied``: the caller already processed the DOCUMENT'S OWN
+    @context into ``context`` (and stripped the key). The reference applies
+    a document's @context AFTER the top-level previous-context revert check,
+    so a pre-applied non-propagating context must not be reverted at the
+    root — only in child nodes.
 
     Returns the expanded form: an array of node objects.
     """
@@ -71,7 +80,9 @@ def expand(
         context = context.clone()
         context.base = DEFAULT_BASE_IRI
         context.original_base = DEFAULT_BASE_IRI
-    expanded = _expand(st, context, None, document, base_url)
+    expanded = _expand(
+        st, context, None, document, base_url, from_map=context_preapplied
+    )
     if isinstance(expanded, dict) and set(expanded) == {"@graph"}:
         expanded = expanded["@graph"]
     if expanded is None:

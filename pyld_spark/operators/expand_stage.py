@@ -55,14 +55,22 @@ _CTX_CACHE_MAX = 64
 
 
 def _processed_context(ctx_value, base_url):
-    from pyld_spark.jsonld.context import initial_context, process_context
+    from pyld_spark.jsonld.context import (
+        DEFAULT_BASE_IRI, initial_context, process_context,
+    )
 
     key = (json.dumps(ctx_value, sort_keys=True, default=str), base_url)
     cached = _CTX_CACHE.get(key)
     if cached is None:
         if len(_CTX_CACHE) >= _CTX_CACHE_MAX:
             _CTX_CACHE.clear()
-        cached = process_context(initial_context(base=base_url), ctx_value, base_url)
+        # the default base must be present BEFORE context processing — a
+        # non-propagating context snapshots `previous` then (api.expand
+        # applies the same rule)
+        cached = process_context(
+            initial_context(base=base_url or DEFAULT_BASE_IRI),
+            ctx_value, base_url,
+        )
         _CTX_CACHE[key] = cached
     return cached
 
@@ -80,12 +88,15 @@ def _doc_to_quads(doc_json: str, base_url: str | None):
     from pyld_spark.jsonld.rdf import to_rdf
 
     doc = json.loads(doc_json)
+    preapplied = False
     if isinstance(doc, dict) and "@context" in doc:
         ctx = _processed_context(doc["@context"], base_url)
         doc = {k: v for k, v in doc.items() if k != "@context"}
+        preapplied = True
     else:
         ctx = initial_context(base=base_url)
-    expanded = expand(doc, context=ctx, base_url=base_url)
+    expanded = expand(doc, context=ctx, base_url=base_url,
+                      context_preapplied=preapplied)
     return to_rdf(expanded)
 
 

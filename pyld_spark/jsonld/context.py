@@ -355,29 +355,6 @@ def process_context(
 _CONTAINER_KEYWORDS = {"@list", "@set", "@index", "@id", "@type", "@language", "@graph"}
 
 
-def _validate_container(container, mode: str) -> frozenset:
-    vals = container if isinstance(container, list) else [container]
-    if mode == "json-ld-1.0":
-        if isinstance(container, list) or container in ("@graph", "@id", "@type"):
-            raise JsonLdError("invalid container in 1.0 mode", "invalid container mapping")
-    if not vals or not all(isinstance(v, str) and v in _CONTAINER_KEYWORDS for v in vals):
-        raise JsonLdError(f"invalid @container: {container!r}", "invalid container mapping")
-    s = frozenset(vals)
-    if len(s) != len(vals):
-        raise JsonLdError("duplicate @container values", "invalid container mapping")
-    if "@list" in s:
-        if s != {"@list"}:
-            raise JsonLdError("@list cannot be combined", "invalid container mapping")
-    elif "@graph" in s:
-        if not s <= {"@graph", "@id", "@index", "@set"} or ("@id" in s and "@index" in s):
-            raise JsonLdError("invalid @graph container combo", "invalid container mapping")
-    elif not (s <= {"@set"} or (len(s - {"@set"}) == 1 and s - {"@set"} <= {
-        "@index", "@id", "@type", "@language"
-    })):
-        raise JsonLdError(f"invalid @container combo: {sorted(s)}", "invalid container mapping")
-    return s
-
-
 def create_term_definition(
     active: Context,
     local_ctx: dict,
@@ -405,7 +382,7 @@ def create_term_definition(
 
     if term == "@type" and mode != "json-ld-1.0":
         if not isinstance(value, dict) or not value or not set(value) <= {
-            "@container", "@protected"
+            "@container", "@id", "@protected"
         } or value.get("@container", "@set") != "@set":
             raise JsonLdError("invalid @type redefinition", "keyword redefinition")
     elif is_keyword(term):
@@ -416,34 +393,30 @@ def create_term_definition(
     previous = active.terms.pop(term, None)
 
     simple_term = False
-    if value is None:
-        value = {"@id": None}
-    elif isinstance(value, str):
+    if value is None or isinstance(value, str):
         value = {"@id": value}
         simple_term = True
     elif not isinstance(value, dict):
         raise JsonLdError(f"invalid term value for {term}", "invalid term definition")
 
+    # a term definition may only contain expected keywords; the 1.1-only
+    # keys are invalid in 1.0 mode (reference jsonld.py:5608-5620)
+    valid_keys = {"@container", "@id", "@language", "@reverse", "@type"}
+    if mode != "json-ld-1.0":
+        valid_keys |= {
+            "@context", "@direction", "@index", "@nest", "@prefix", "@protected",
+        }
+    for kw in value:
+        if kw not in valid_keys:
+            raise JsonLdError(
+                f"term definition must not contain {kw}", "invalid term definition"
+            )
+
     definition = TermDef(protected=protected)
     if "@protected" in value:
-        if mode == "json-ld-1.0":
-            raise JsonLdError("@protected in 1.0 mode", "invalid term definition")
-        if not isinstance(value["@protected"], bool):
-            raise JsonLdError("@protected must be boolean", "invalid @protected value")
-        definition.protected = value["@protected"]
-
-    if "@type" in value:
-        t = value["@type"]
-        if not isinstance(t, str):
-            raise JsonLdError("@type mapping must be string", "invalid type mapping")
-        expanded_type = expand_iri(active, t, vocab=True, local_ctx=local_ctx, defined=defined)
-        if expanded_type in ("@json", "@none") and mode == "json-ld-1.0":
-            raise JsonLdError(f"{expanded_type} in 1.0 mode", "invalid type mapping")
-        if expanded_type not in ("@id", "@vocab", "@json", "@none") and not (
-            isinstance(expanded_type, str) and is_absolute_iri(expanded_type)
-        ):
-            raise JsonLdError(f"invalid type mapping: {t}", "invalid type mapping")
-        definition.type = expanded_type
+        # truthiness only — the reference performs no type validation here
+        # (jsonld.py:5782-5784)
+        definition.protected = bool(value["@protected"])
 
     if "@reverse" in value:
         if "@id" in value or "@nest" in value:
@@ -452,25 +425,19 @@ def create_term_definition(
         if not isinstance(rev, str):
             raise JsonLdError("@reverse must be string", "invalid IRI mapping")
         if is_keyword_like(rev):
+            # warn + ignore, restoring any previous definition
+            # (reference jsonld.py:5652-5664)
+            if previous is not None:
+                active.terms[term] = previous
             return
         iri = expand_iri(active, rev, vocab=True, local_ctx=local_ctx, defined=defined)
         if not isinstance(iri, str) or not is_absolute_iri(iri):
             raise JsonLdError("@reverse must expand to IRI", "invalid IRI mapping")
         definition.iri = iri
         definition.reverse = True
-        if "@container" in value:
-            c = value["@container"]
-            if c is not None and c not in ("@set", "@index"):
-                raise JsonLdError(
-                    "reverse property container must be @set/@index", "invalid reverse property"
-                )
-            if c is not None:
-                definition.container = frozenset([c])
-        active.terms[term] = definition
-        defined[term] = True
-        return
-
-    if "@id" in value and value["@id"] != term:
+        # @type/@container/... processing continues below — the reference
+        # does not return here (jsonld.py:5681-5682)
+    elif "@id" in value and value["@id"] != term:
         vid = value["@id"]
         if vid is None:
             definition.iri = None
@@ -478,10 +445,12 @@ def create_term_definition(
             if not isinstance(vid, str):
                 raise JsonLdError("@id mapping must be string", "invalid IRI mapping")
             if not is_keyword(vid) and is_keyword_like(vid):
+                # warn + ignore, restoring any previous definition
+                # (reference jsonld.py:5694-5705)
+                if previous is not None:
+                    active.terms[term] = previous
                 return
             iri = expand_iri(active, vid, vocab=True, local_ctx=local_ctx, defined=defined)
-            if iri == "@context":
-                raise JsonLdError("cannot alias @context", "invalid keyword alias")
             if not (is_keyword(iri) or (isinstance(iri, str) and (
                 is_absolute_iri(iri) or iri.startswith("_:")
             ))):
@@ -496,8 +465,9 @@ def create_term_definition(
             if (
                 simple_term
                 and isinstance(iri, str)
-                and ":" not in term
-                and "/" not in term
+                # reference `_term_has_colon` is find(':') > 0 — a leading
+                # colon does not count (jsonld.py:5623-5624, 5742-5749)
+                and term.find(":") <= 0
                 and (iri.startswith("_:") or iri[-1:] in "/?#[]@:")
             ):
                 definition.prefix = True
@@ -529,30 +499,90 @@ def create_term_definition(
             f"no @vocab to expand term {term}", "invalid IRI mapping"
         )
 
+    # @type mapping is validated AFTER the IRI mapping resolves — a term
+    # with neither @id nor @vocab raises 'invalid IRI mapping' first
+    # (reference order: jsonld.py:5626-5779 then 5786-5827)
+    if "@type" in value:
+        t = value["@type"]
+        if not isinstance(t, str):
+            raise JsonLdError("@type mapping must be string", "invalid type mapping")
+        expanded_type = expand_iri(active, t, vocab=True, local_ctx=local_ctx, defined=defined)
+        if expanded_type in ("@json", "@none") and mode == "json-ld-1.0":
+            raise JsonLdError(f"{expanded_type} in 1.0 mode", "invalid type mapping")
+        if expanded_type not in ("@id", "@vocab", "@json", "@none") and not (
+            isinstance(expanded_type, str) and is_absolute_iri(expanded_type)
+        ):
+            raise JsonLdError(f"invalid type mapping: {t}", "invalid type mapping")
+        if isinstance(expanded_type, str) and expanded_type.startswith("_:"):
+            # an @type mapping must be an IRI, not a blank node
+            # (reference jsonld.py:5818-5826)
+            raise JsonLdError(f"blank node type mapping: {t}", "invalid type mapping")
+        definition.type = expanded_type
+
     if "@container" in value:
-        definition.container = _validate_container(value["@container"], mode)
-        if "@type" in definition.container:
-            if definition.type is None:
-                definition.type = "@id"
-            elif definition.type not in ("@id", "@vocab"):
-                raise JsonLdError(
-                    "@type container needs @id/@vocab type", "invalid type mapping"
-                )
+        # container validation parity (reference jsonld.py:5829-5911): the
+        # @type-container type check raises BEFORE the overall validity
+        # raise; @graph combos allow {@graph,@id,@index,@set} freely;
+        # duplicates are tolerated (deduped by the frozenset)
+        raw = value["@container"]
+        container = raw if isinstance(raw, list) else [raw]
+        valid_containers = {"@list", "@set", "@index", "@language"}
+        is_valid = True
+        has_set = "@set" in container
+        if mode != "json-ld-1.0":
+            valid_containers |= {"@graph", "@id", "@type"}
+            if "@list" in container:
+                if len(container) != 1:
+                    raise JsonLdError(
+                        "@container @list must have no other values",
+                        "invalid container mapping",
+                    )
+            elif "@graph" in container:
+                if any(
+                    kw not in ("@graph", "@id", "@index", "@set")
+                    for kw in container
+                ):
+                    raise JsonLdError(
+                        "invalid @graph container combo", "invalid container mapping"
+                    )
+            else:
+                is_valid = is_valid and len(container) <= (2 if has_set else 1)
+            if "@type" in container:
+                if definition.type is None:
+                    definition.type = "@id"
+                if definition.type not in ("@id", "@vocab"):
+                    raise JsonLdError(
+                        "@type container needs @id/@vocab type", "invalid type mapping"
+                    )
+        else:
+            is_valid = is_valid and isinstance(raw, str)
+        is_valid = is_valid and all(
+            isinstance(kw, str) and kw in valid_containers for kw in container
+        )
+        is_valid = is_valid and not (has_set and "@list" in container)
+        if not is_valid:
+            raise JsonLdError(
+                f"invalid @container: {raw!r}", "invalid container mapping"
+            )
+        if definition.reverse and any(
+            kw not in ("@index", "@set") for kw in container
+        ):
+            raise JsonLdError(
+                "reverse property container must be @set/@index",
+                "invalid reverse property",
+            )
+        definition.container = frozenset(container)
 
     if "@index" in value:
-        if mode == "json-ld-1.0" or "@index" not in definition.container:
+        if "@container" not in value or "@index" not in definition.container:
             raise JsonLdError("@index needs @index container", "invalid term definition")
         idx = value["@index"]
-        expanded_idx = expand_iri(active, idx, vocab=True) if isinstance(idx, str) else None
-        if not isinstance(idx, str) or not (
-            isinstance(expanded_idx, str) and is_absolute_iri(expanded_idx)
-        ):
-            raise JsonLdError("@index must expand to IRI", "invalid term definition")
+        # string not starting with '@' (reference jsonld.py:5922-5929)
+        if not isinstance(idx, str) or idx.startswith("@"):
+            raise JsonLdError("invalid @index value", "invalid term definition")
         definition.index = idx
 
     if "@context" in value:
-        if mode == "json-ld-1.0":
-            raise JsonLdError("scoped context in 1.0 mode", "invalid term definition")
         ctx = value["@context"]
         if validate_scoped:
             try:
@@ -576,37 +606,33 @@ def create_term_definition(
             raise JsonLdError("@language must be string/null", "invalid language mapping")
         definition.language = lang.lower() if isinstance(lang, str) else None
 
-    if "@direction" in value and "@type" not in value:
+    if "@prefix" in value:
+        # reference order: compact-IRI-term check, then keyword-@id check
+        # (unconditional), then boolean validation (jsonld.py:5955-5975)
+        if ":" in term or "/" in term:
+            raise JsonLdError("@prefix not allowed here", "invalid term definition")
+        if is_keyword(definition.iri):
+            raise JsonLdError("keyword cannot be a prefix", "invalid term definition")
+        if not isinstance(value["@prefix"], bool):
+            raise JsonLdError("@prefix must be boolean", "invalid @prefix value")
+        definition.prefix = value["@prefix"]
+
+    if "@direction" in value:
+        # no '@type not in value' gate, unlike @language (jsonld.py:5976-5986)
         d = value["@direction"]
-        if d is not None and d not in ("ltr", "rtl"):
+        if d and d not in ("ltr", "rtl"):
             raise JsonLdError("@direction must be ltr/rtl/null", "invalid base direction")
         definition.direction = d
 
     if "@nest" in value:
-        if mode == "json-ld-1.0":
-            raise JsonLdError("@nest in 1.0 mode", "invalid term definition")
         nest = value["@nest"]
         if not isinstance(nest, str) or (nest != "@nest" and nest.startswith("@")):
             raise JsonLdError("invalid @nest value", "invalid @nest value")
         definition.nest = nest
 
-    if "@prefix" in value:
-        if mode == "json-ld-1.0" or ":" in term or "/" in term:
-            raise JsonLdError("@prefix not allowed here", "invalid term definition")
-        if not isinstance(value["@prefix"], bool):
-            raise JsonLdError("@prefix must be boolean", "invalid @prefix value")
-        definition.prefix = value["@prefix"]
-        if definition.prefix and is_keyword(definition.iri):
-            raise JsonLdError("keyword cannot be a prefix", "invalid term definition")
-
-    extra = set(value) - {
-        "@id", "@reverse", "@type", "@container", "@context", "@direction",
-        "@index", "@language", "@nest", "@prefix", "@protected",
-    }
-    if extra:
-        raise JsonLdError(
-            f"unknown term definition keys {sorted(extra)}", "invalid term definition"
-        )
+    # @context and @preserve cannot be aliased (reference jsonld.py:6003-6011)
+    if definition.iri in ("@context", "@preserve"):
+        raise JsonLdError("cannot alias @context/@preserve", "invalid keyword alias")
 
     if previous is not None and previous.protected and not override_protected:
         if not definition.same_except_protected(previous):

@@ -19,14 +19,11 @@ from pyld_spark.jsonld.context import (
     arrayify,
     expand_iri,
     is_keyword,
-    is_keyword_like,
     process_context,
     UNSET,
 )
 from pyld_spark.jsonld.errors import JsonLdError
 from pyld_spark.jsonld.iri import is_absolute_iri
-
-_FRAME_KEYWORDS = {"@default", "@embed", "@explicit", "@omitDefault", "@requireAll"}
 
 #: Reference parity: when no document base is supplied, the reference resolves
 #: document-relative IRIs against this synthetic base
@@ -222,6 +219,10 @@ def _fast_expand_node(st: _State, active_ctx: Context, element: dict):
                         active_ctx, t, vocab=True, document_relative=True
                     )
                     tcache[t] = e
+                if e is None:
+                    # None-expanded types need the general add_value
+                    # semantics (single → 'invalid type value')
+                    return _FAST_BAIL
                 ex.append(e)
             result["@type"] = ex
         elif kind == "drop":
@@ -247,7 +248,8 @@ def _expand_key_iri(active_ctx: Context, key: str):
     return v
 
 
-def _expand(st: _State, active_ctx: Context, active_property, element, base_url, from_map=False):
+def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
+            from_map=False, inside_list=False):
     if element is None:
         return None
     frame = st.frame
@@ -257,11 +259,18 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
 
     defn = active_ctx.terms.get(active_property) if active_property else None
     property_scoped = defn.context if defn is not None and defn.context is not UNSET else UNSET
+    # the reference computes expanded_active_property against the INCOMING
+    # context, before scoped/local contexts apply (jsonld.py:2053, 2063)
+    ap_iri = (
+        _expand_key_iri(active_ctx, active_property)
+        if active_property is not None
+        else None
+    )
 
     if not isinstance(element, (dict, list)):
-        # scalar
-        if active_property is None or active_property == "@graph":
-            return None  # free-floating scalar
+        # scalar: free-floating unless inside a list (jsonld.py:2051-2057)
+        if not inside_list and (active_property is None or ap_iri == "@graph"):
+            return None
         if property_scoped is not UNSET:
             active_ctx = process_context(
                 active_ctx, property_scoped, defn.context_base,
@@ -272,9 +281,15 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
     if isinstance(element, list):
         result = []
         container = defn.container if defn is not None else frozenset()
+        # nested arrays inside a list become nested @list objects
+        # (jsonld.py:2025-2041)
+        inside_list = inside_list or "@list" in container
         for item in element:
-            expanded = _expand(st, active_ctx, active_property, item, base_url, from_map)
-            if "@list" in container and isinstance(expanded, list):
+            expanded = _expand(
+                st, active_ctx, active_property, item, base_url, from_map,
+                inside_list,
+            )
+            if inside_list and isinstance(expanded, list):
                 expanded = {"@list": expanded}
             if isinstance(expanded, list):
                 result.extend(x for x in expanded if x is not None)
@@ -295,7 +310,7 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
         fast = _fast_expand_node(st, active_ctx, element)
         if fast is not _FAST_BAIL:
             # same free-floating tail as the general path below
-            if active_property is None or active_property == "@graph":
+            if not inside_list and (active_property is None or ap_iri == "@graph"):
                 if not st.keep_free_floating:
                     if not fast or set(fast) == {"@id"}:
                         return None
@@ -409,7 +424,8 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
             if not isinstance(value, (str, int, float, bool)) and not frame:
                 raise JsonLdError("@value must be scalar", "invalid value object value")
         if (
-            (active_property is None or active_property == "@graph")
+            not inside_list
+            and (active_property is None or ap_iri == "@graph")
             and not frame
             and not st.keep_free_floating
         ):
@@ -436,7 +452,7 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
     if isinstance(result, dict):
         if len(result) == 1 and "@language" in result:
             return None
-        if active_property is None or active_property == "@graph":
+        if not inside_list and (active_property is None or ap_iri == "@graph"):
             if not frame and not st.keep_free_floating:
                 if not result or "@value" in result or "@list" in result:
                     return None
@@ -464,7 +480,9 @@ def _expand_keys(
             continue
 
         if is_keyword(expanded_property):
-            if active_property == "@reverse":
+            if active_property is not None and (
+                _expand_key_iri(active_ctx, active_property) == "@reverse"
+            ):
                 raise JsonLdError(
                     "keyword inside @reverse map", "invalid reverse property map"
                 )
@@ -472,11 +490,18 @@ def _expand_keys(
                 raise JsonLdError(
                     f"colliding keyword: {expanded_property}", "colliding keywords"
                 )
-            _expand_keyword(
+            handled = _expand_keyword(
                 st, active_ctx, type_scoped_ctx, active_property, key, value,
                 expanded_property, result, nests, base_url, input_type, frame,
             )
-            continue
+            if handled:
+                continue
+            # keywords with no specific branch (framing keywords, @none,
+            # @preserve, @base/@vocab/..., @included in 1.0 mode) fall
+            # through the GENERIC property path below — recursed with the
+            # key as active property and added arrayified (reference
+            # jsonld.py:2648-2727; _expand_value keeps raw scalars under
+            # keyword properties, jsonld.py:3787-3788)
 
         defn = active_ctx.terms.get(key)
         container = defn.container if defn is not None else frozenset()
@@ -490,9 +515,6 @@ def _expand_keys(
                 st, active_ctx, key, defn, container, value, base_url
             )
         else:
-            is_list_container = "@list" in container
-            if is_list_container and isinstance(value, list):
-                pass
             expanded_value = _expand(st, active_ctx, key, value, base_url)
 
         if expanded_value is None:
@@ -522,7 +544,11 @@ def _expand_keys(
 def _expand_keyword(
     st, active_ctx, type_scoped_ctx, active_property, key, value,
     expanded_property, result, nests, base_url, input_type, frame,
-):
+) -> bool:
+    """Handle keyword keys with a specific expansion branch. Returns True
+    when the key was fully handled; False when the caller should route it
+    through the generic property path (reference parity: keywords without
+    a dedicated branch fall through, jsonld.py:2648-2727)."""
     if expanded_property == "@id":
         if isinstance(value, str):
             expanded = expand_iri(active_ctx, value, document_relative=True)
@@ -541,7 +567,7 @@ def _expand_keyword(
                 ]
         else:
             raise JsonLdError("@id must be a string", "invalid @id value")
-        return
+        return True
     if expanded_property == "@type":
         def _ex(t):
             return expand_iri(type_scoped_ctx, t, vocab=True, document_relative=True)
@@ -554,35 +580,44 @@ def _expand_keyword(
                 result["@type"] = arrayify(result["@type"]) + [None]
             else:
                 result["@type"] = [None] if frame else None
-            return
+            return True
         if isinstance(value, str):
-            expanded = _ex(value)
+            expanded_values = [_ex(value)]
         elif isinstance(value, list) and all(isinstance(v, str) for v in value):
-            expanded = [_ex(v) for v in value]
+            expanded_values = [_ex(v) for v in value]
         elif frame and isinstance(value, dict):
             if value == {}:
-                expanded = value
+                expanded_values = [value]
             elif set(value) == {"@default"}:
-                expanded = {"@default": [
+                expanded_values = [{"@default": [
                     _ex(v) for v in arrayify(value["@default"])
-                ]}
+                ]}]
             else:
                 raise JsonLdError("invalid @type frame pattern", "invalid type value")
         else:
             raise JsonLdError("@type must be string(s)", "invalid type value")
-        if "@type" in result:
-            existing = arrayify(result["@type"])
-            result["@type"] = existing + arrayify(expanded)
-        elif frame and not isinstance(expanded, list):
-            # frame expansion arrayifies @type (reference jsonld.py:2419-2424)
-            result["@type"] = [expanded]
-        else:
-            result["@type"] = expanded
-        return
+        # add_value(parent, '@type', values, propertyIsArray=isFrame)
+        # emulation (reference jsonld.py:2419-2428): a SINGLE None-expanded
+        # type stays scalar and the post-check raises 'invalid type value';
+        # two or more become a plain list and survive. An EMPTY array is
+        # kept (as the match-none frame pattern) only under propertyIsArray,
+        # i.e. frame expansion (reference add_value, jsonld.py:1195-1201).
+        if not expanded_values and frame and "@type" not in result:
+            result["@type"] = []
+        for ev in expanded_values:
+            if "@type" not in result:
+                result["@type"] = [ev] if frame else ev
+            else:
+                existing = result["@type"]
+                if not isinstance(existing, list):
+                    existing = [existing]
+                result["@type"] = existing + [ev]
+        return True
     if expanded_property == "@included":
         if active_ctx.processing_mode == "json-ld-1.0":
-            _dropped(st, key)
-            return
+            # 1.0: @included is not special — generic fallthrough
+            # (reference jsonld.py:2430-2431 gate)
+            return False
         # reference jsonld.py:2430-2449: the all-nodes check runs BEFORE any
         # None filtering — a dropped value (e.g. a value object) is an error
         expanded_included = _expand(st, active_ctx, active_property, value, base_url)
@@ -594,15 +629,15 @@ def _expand_keyword(
         if not all(is_node_object(v) for v in included):
             raise JsonLdError("@included values must be nodes", "invalid @included value")
         result.setdefault("@included", []).extend(included)
-        return
+        return True
     if expanded_property == "@graph":
         if not isinstance(value, (dict, list)):
             raise JsonLdError(
                 "@graph must be an object or an array", "invalid @graph value"
             )
-        expanded = _expand(st, active_ctx, "@graph", value, base_url)
-        result["@graph"] = [v for v in arrayify(expanded) if v is not None]
-        return
+        # validation only; expansion happens in the generic path
+        # (reference jsonld.py:2453-2464 has no continue)
+        return False
     if expanded_property == "@value":
         if input_type == "@json" and active_ctx.processing_mode != "json-ld-1.0":
             result["@value"] = value
@@ -615,46 +650,56 @@ def _expand_keyword(
             result["@value"] = value
         else:
             raise JsonLdError("@value must be scalar/null", "invalid value object value")
-        return
+        return True
     if expanded_property == "@language":
         if value is None:
             # null @language expands as if absent (reference
             # jsonld.py:2480-2483)
-            return
+            return True
         if not isinstance(value, str) and not frame:
             raise JsonLdError("@language must be a string", "invalid language-tagged string")
         vals = value if isinstance(value, list) else [value]
         vals = [v.lower() if isinstance(v, str) else v for v in vals]
         # frame expansion arrayifies (reference jsonld.py:2491-2502)
         result["@language"] = vals if frame else vals[0]
-        return
+        return True
     if expanded_property == "@direction":
-        if active_ctx.processing_mode == "json-ld-1.0":
-            _dropped(st, key)
-            return
+        # validated and kept in ALL processing modes (the reference branch
+        # has no mode gate, jsonld.py:2505-2528)
         if not isinstance(value, str) and not frame:
             raise JsonLdError("@direction must be ltr/rtl", "invalid base direction")
         vals = value if isinstance(value, list) else [value]
         if any(isinstance(v, str) and v not in ("ltr", "rtl") for v in vals):
             raise JsonLdError("@direction must be ltr/rtl", "invalid base direction")
         result["@direction"] = vals if frame else vals[0]
-        return
+        return True
     if expanded_property == "@index":
         if isinstance(value, str):
             result["@index"] = value
         else:
             raise JsonLdError("@index must be a string", "invalid @index value")
-        return
+        return True
     if expanded_property == "@list":
-        if active_property is None or active_property == "@graph":
-            return  # free-floating list
-        expanded = _expand(st, active_ctx, active_property, value, base_url)
-        result["@list"] = [v for v in arrayify(expanded) if v is not None]
-        return
+        # reference jsonld.py:2648-2659: recurse with inside_list=True (so
+        # nested arrays become nested @list objects); under @graph the next
+        # active property is None; a None expansion drops the key; free-
+        # floating / extra-key handling happens in post-processing.
+        next_ap = active_property
+        if active_property is not None and (
+            _expand_key_iri(active_ctx, active_property) == "@graph"
+        ):
+            next_ap = None
+        expanded = _expand(
+            st, active_ctx, next_ap, value, base_url, inside_list=True
+        )
+        if expanded is not None:
+            result.setdefault("@list", []).extend(arrayify(expanded))
+        return True
     if expanded_property == "@set":
         expanded = _expand(st, active_ctx, active_property, value, base_url)
-        result["@set"] = [v for v in arrayify(expanded) if v is not None]
-        return
+        if expanded is not None:
+            result.setdefault("@set", []).extend(arrayify(expanded))
+        return True
     if expanded_property == "@reverse":
         if not isinstance(value, dict):
             raise JsonLdError("@reverse must be a map", "invalid @reverse value")
@@ -675,7 +720,7 @@ def _expand_keyword(
                             "reverse value must be node", "invalid reverse property value"
                         )
                     reverse_map.setdefault(prop, []).append(item)
-        return
+        return True
     if expanded_property == "@nest":
         for nv in arrayify(value):
             if not isinstance(nv, dict) or any(
@@ -683,22 +728,13 @@ def _expand_keyword(
             ):
                 raise JsonLdError("invalid @nest value", "invalid @nest value")
             nests.append(nv)
-        return
-    if expanded_property in _FRAME_KEYWORDS:
-        if frame or expanded_property == "@default":
-            expanded = _expand(st, active_ctx, expanded_property, value, base_url)
-            # a null framing keyword drops entirely — {"@default": null}
-            # expands to {} (reference jsonld.py:2671-2673)
-            if expanded is not None:
-                result[expanded_property] = arrayify(expanded)
-        return
-    if expanded_property == "@preserve":
-        expanded = _expand(st, active_ctx, active_property, value, base_url)
-        if expanded is not None:
-            result["@preserve"] = arrayify(expanded)
-        return
-    # other keywords (@base, @vocab, ...) are not valid document keys — drop
-    _dropped(st, key)
+        return True
+    # every other keyword (@default/@embed/@explicit/@omitDefault/
+    # @requireAll/@none/@preserve/@base/@vocab/@version/...) has no specific
+    # branch in the reference — generic fallthrough: recursed with the key
+    # as active property (scalars kept raw by _expand_value) and added
+    # arrayified (reference jsonld.py:2648-2727)
+    return False
 
 
 def _expand_language_map(active_ctx: Context, defn, value: dict) -> list:
@@ -762,19 +798,33 @@ def _expand_index_map(st, active_ctx, key, defn, container, value, base_url):
 
 
 def _expand_value(active_ctx: Context, active_property, value):
-    """Value Expansion (JSON-LD 1.1 API §5.3.2)."""
-    if active_property in _FRAME_KEYWORDS:
-        # keyword-property values are not value-expanded: @embed/@explicit/
-        # @default/... keep their raw scalars (reference _expand_value
-        # 'do not expand keyword values', jsonld.py:2741-2743)
-        return value
+    """Value Expansion (JSON-LD 1.1 API §5.3.2; reference _expand_value
+    ladder, jsonld.py:3746-3818)."""
+    if value is None:
+        return None
+    ep = (
+        _expand_key_iri(active_ctx, active_property)
+        if active_property is not None
+        else None
+    )
+    # @id/@type keys: the value is expanded as an IRI, not wrapped
+    if ep == "@id" and isinstance(value, str):
+        return expand_iri(active_ctx, value, document_relative=True)
+    if ep == "@type" and isinstance(value, str):
+        return expand_iri(active_ctx, value, vocab=True, document_relative=True)
+
     defn = active_ctx.terms.get(active_property)
     type_mapping = defn.type if defn is not None else None
 
-    if type_mapping == "@id" and isinstance(value, str):
+    if (type_mapping == "@id" or ep == "@graph") and isinstance(value, str):
         return {"@id": expand_iri(active_ctx, value, document_relative=True)}
     if type_mapping == "@vocab" and isinstance(value, str):
         return {"@id": expand_iri(active_ctx, value, vocab=True, document_relative=True)}
+
+    # do not expand values under keyword properties (@embed/@explicit/
+    # @default/@none/@preserve/... keep raw scalars, jsonld.py:3787-3788)
+    if ep is not None and is_keyword(ep):
+        return value
 
     result = {"@value": value}
     if type_mapping not in (None, "@id", "@vocab", "@none"):

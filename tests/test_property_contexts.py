@@ -1,0 +1,163 @@
+"""Property-based differential tests over RANDOM CONTEXT DEFINITIONS.
+
+The other fuzz suites hold the context fixed and randomize documents; this
+one randomizes the @context itself — term definitions with arbitrary
+@id/@type/@container/@language/@direction/@prefix/@protected/@reverse
+combinations, context arrays, @vocab/@base variants — and checks expansion
+(output AND error codes) against the reference. create_term_definition's
+validation ladder is the least-fuzzed surface otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.ref_oracle import get_reference_jsonld
+from tests.test_expand_vs_reference import equal_unordered
+
+EX = "http://e/"
+
+iri_values = st.sampled_from([
+    EX + "t", EX + "other", "ex:suf", "@id", "@type", "@nest", "@none",
+    "_:b0", "rel", None, "", "term2",
+])
+
+type_values = st.sampled_from([
+    "@id", "@vocab", "@json", "@none", EX + "dt", "xsd:int", "rel-dt",
+    "_:b", None,
+])
+
+container_values = st.sampled_from([
+    "@list", "@set", "@index", "@language", "@id", "@type", "@graph",
+    ["@graph", "@id"], ["@graph", "@index"], ["@set", "@index"],
+    ["@list", "@set"], ["@id", "@set"], ["@language", "@set"],
+    "@nonsense", None,
+])
+
+
+def _term_def():
+    return st.one_of(
+        iri_values,  # simple string mapping (or null)
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "@id": iri_values,
+                "@type": type_values,
+                "@container": container_values,
+                "@language": st.sampled_from(["en", "EN", None, 7]),
+                "@direction": st.sampled_from(["ltr", "rtl", None, "up"]),
+                "@prefix": st.sampled_from([True, False, "yes"]),
+                "@protected": st.booleans(),
+                "@reverse": st.sampled_from([EX + "r", "@id", None]),
+                "@index": st.sampled_from([EX + "idx", "plain", None]),
+                "@nest": st.sampled_from(["@nest", "meta", "@id"]),
+            },
+        ),
+    )
+
+
+term_names = st.sampled_from(["t", "term2", "ex", "xsd", "@reserved", "_t", ""])
+
+contexts = st.one_of(
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "@version": st.sampled_from([1.1, 1.0, "1.1"]),
+            "@vocab": st.sampled_from([EX, "", "rel/", None, "_:b"]),
+            "@base": st.sampled_from([EX, "rel/", None]),
+            "@language": st.sampled_from(["en", "EN", None, True]),
+            "@direction": st.sampled_from(["ltr", "rtl", None, "x"]),
+            "@propagate": st.booleans(),
+            "t": _term_def(),
+            "term2": _term_def(),
+            "ex": st.sampled_from([EX, {"@id": EX, "@prefix": True}]),
+            "xsd": st.just("http://www.w3.org/2001/XMLSchema#"),
+        },
+    ),
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.fixed_dictionaries({}, optional={"t": _term_def(), "@vocab": st.just(EX)}),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+
+bodies = st.fixed_dictionaries(
+    {},
+    optional={
+        "@id": st.sampled_from([EX + "n", "rel-n"]),
+        "@type": st.sampled_from(["t", "term2", EX + "T"]),
+        "t": st.one_of(
+            st.text(max_size=6),
+            st.integers(min_value=-5, max_value=5),
+            st.fixed_dictionaries({"@value": st.text(max_size=4)}),
+            st.lists(st.text(max_size=4), max_size=2),
+            st.fixed_dictionaries({}, optional={
+                "t": st.text(max_size=4), "@id": st.just(EX + "c")}),
+            st.dictionaries(
+                st.sampled_from(["en", "k1", EX + "a", "@none"]),
+                st.text(max_size=4), max_size=2),
+        ),
+        "term2": st.text(max_size=6),
+        "ex:curie": st.text(max_size=4),
+        "t:suffix": st.text(max_size=4),
+    },
+)
+
+
+def _code_of(e) -> str | None:
+    code = getattr(e, "code", None)
+    cause = e
+    for _ in range(4):
+        if code is not None or cause is None:
+            return code
+        cause = getattr(cause, "cause", None) or getattr(cause, "__cause__", None)
+        code = getattr(cause, "code", None)
+    return code
+
+
+@settings(
+    max_examples=300, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies)
+def test_random_context_expansion_matches_reference(ctx, body):
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.expand(json.loads(json.dumps(doc)))
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.expand(json.loads(json.dumps(doc)))
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        # reference crashed without a spec error code — we must not crash,
+        # either a clean result or a coded error is acceptable
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert equal_unordered(my_out, ref_out), (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

@@ -4,6 +4,8 @@ expand → toRDF → URDNA2015 must agree with the reference byte-for-byte
 
 from __future__ import annotations
 
+import re
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -211,6 +213,14 @@ def test_fromrdf_roundtrip_matches_reference(doc):
         # reference fails to round-trip its own output for raw control chars
         # in literals (its serializer doesn't escape them, its parser then
         # rejects the line) — not our divergence to chase
+        return
+    if re.search(r'\\\\[tnr"]', nq):
+        # DELIBERATE divergence: for a literal containing backslash followed
+        # by t/n/r/" (serialized '\\t' etc.) the reference parser's ordered
+        # .replace unescape (reference nquads.py:18-25) turns the escaped
+        # backslash + letter into backslash + control char; our parser is
+        # N-Quads-spec single-pass (jsonld/nquads.py:30-47, shared grammar
+        # with the Spark reader and its \uXXXX support).
         return
     actual = api.from_rdf(nq, {"useNativeTypes": True})
     assert equal_unordered(actual, expected)

@@ -129,8 +129,17 @@ def compact(document, ctx, options: dict | None = None) -> dict:
         else:
             kw_graph = compact_iri(active, "@graph", vocab=True)
             compacted = {kw_graph: compacted}
-    if ctx_value:
-        compacted = {"@context": ctx_value, **compacted}
+    # output context: arrayify, drop empty-object entries, unwrap a
+    # singleton; attach whenever any entry remains — including null
+    # (reference jsonld.py:538-574: ctx={'@context': None} emits
+    # '@context': null)
+    out_ctx = ctx_value if isinstance(ctx_value, list) else [ctx_value]
+    out_ctx = [v for v in out_ctx if not isinstance(v, dict) or len(v) > 0]
+    if out_ctx:
+        compacted = {
+            "@context": out_ctx[0] if len(out_ctx) == 1 else out_ctx,
+            **compacted,
+        }
     return compacted
 
 

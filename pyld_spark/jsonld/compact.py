@@ -50,8 +50,9 @@ def inverse_context(active: Context) -> dict:
         if defn.reverse:
             tl_map["@type"].setdefault("@reverse", term)
         elif defn.type == "@none":
-            tl_map["@type"].setdefault("@any", term)
-            tl_map["@language"].setdefault("@any", term)
+            # registered under @none, not @any (reference jsonld.py:6180-6183)
+            tl_map["@type"].setdefault("@none", term)
+            tl_map["@language"].setdefault("@none", term)
             tl_map["@any"].setdefault("@none", term)
         elif defn.type is not None:
             tl_map["@type"].setdefault(defn.type, term)
@@ -73,13 +74,9 @@ def inverse_context(active: Context) -> dict:
         elif defn.direction is not UNSET:
             key = f"_{defn.direction}" if defn.direction else "@none"
             tl_map["@language"].setdefault(key, term)
-        elif active.default_direction:
-            tl_map["@language"].setdefault(
-                f"{default_language}_{active.default_direction}".lstrip(), term
-            )
-            tl_map["@language"].setdefault("@none", term)
-            tl_map["@type"].setdefault("@none", term)
         else:
+            # the reference's default-language entry ignores the default
+            # @direction entirely (jsonld.py:6219-6226)
             tl_map["@language"].setdefault(default_language, term)
             tl_map["@language"].setdefault("@none", term)
             tl_map["@type"].setdefault("@none", term)
@@ -116,13 +113,9 @@ def compact_iri(
         return None
     inv = inverse_context(active)
     if vocab and iri in inv:
-        default_language = "@none"
-        if active.default_direction:
-            default_language = (
-                f"{active.default_language or ''}_{active.default_direction}".lower()
-            )
-        elif active.default_language:
-            default_language = active.default_language.lower()
+        # the reference's default language here ignores the default
+        # @direction (jsonld.py:5178)
+        default_language = (active.default_language or "@none").lower()
 
         containers: list = []
         type_language = "@language"
@@ -280,65 +273,87 @@ def compact_iri(
 
 
 def compact_value(active: Context, active_property: str | None, value: dict):
-    """Value Compaction (§4.5.2)."""
+    """Value Compaction — reference _compact_value ladder parity
+    (jsonld.py:5388-5498), including its quirks: the bare-@value return
+    checks only the default @language (NOT @direction); a matching
+    @language alone compacts bare even when the value's @direction does not
+    match the context's (and vice versa); a container-@index value's @index
+    is dropped in the object fallback (the caller's index grouping carries
+    it)."""
     defn = active.terms.get(active_property)
-    language = (
-        defn.language if defn is not None and defn.language is not UNSET
-        else active.default_language
-    )
-    direction = (
-        defn.direction if defn is not None and defn.direction is not UNSET
-        else active.default_direction
-    )
-    if defn is not None and defn.type == "@json":
-        return value["@value"]
 
-    indexed = "@index" in value and defn is not None and "@index" in defn.container
-    keys = set(value) - ({"@index"} if indexed else set())
+    if "@value" in value:
+        type_ = defn.type if defn is not None else None
+        language = (
+            defn.language if defn is not None and defn.language is not UNSET
+            else active.default_language
+        )
+        direction = (
+            defn.direction if defn is not None and defn.direction is not UNSET
+            else active.default_direction
+        )
+        container = defn.container if defn is not None else frozenset()
+        preserve_index = "@index" in value and "@index" not in container
 
-    if "@id" in value:
-        if keys == {"@id"} and defn is not None and defn.type == "@id":
-            return compact_iri(active, value["@id"])
-        if keys == {"@id"} and defn is not None and defn.type == "@vocab":
-            return compact_iri(active, value["@id"], vocab=True)
-        return _compact_value_keys(active, value)
+        if not preserve_index and type_ != "@none":
+            if "@type" in value and value["@type"] == type_:
+                return value["@value"]
+            if (
+                "@language" in value and value["@language"] == language
+                and "@direction" in value and value["@direction"] == direction
+            ):
+                return value["@value"]
+            if "@language" in value and value["@language"] == language:
+                return value["@value"]
+            if "@direction" in value and value["@direction"] == direction:
+                return value["@value"]
 
-    v = value["@value"]
-    if (
-        keys <= {"@value", "@type"}
-        and "@type" in value
-        and defn is not None
-        and value["@type"] == defn.type
-    ):
-        return v
-    if isinstance(v, str):
-        eff_lang = language.lower() if isinstance(language, str) else None
-        eff_dir = direction if direction else None
-        val_lang = value["@language"].lower() if "@language" in value else None
-        val_dir = value.get("@direction")
+        key_count = len(value)
+        is_value_only_key = key_count == 1 or (
+            key_count == 2 and "@index" in value and not preserve_index
+        )
+        has_default_language = active.default_language is not None
+        is_value_string = isinstance(value["@value"], str)
+        has_null_mapping = (
+            defn is not None and defn.language is not UNSET
+            and defn.language is None
+        )
         if (
-            keys <= {"@value", "@language", "@direction"}
-            and val_lang == eff_lang
-            and val_dir == eff_dir
+            is_value_only_key
+            and type_ != "@none"
+            and (not has_default_language or not is_value_string or has_null_mapping)
         ):
-            return v
-    elif keys == {"@value"}:
-        return v
-    return _compact_value_keys(active, value)
+            return value["@value"]
 
+        rval = {}
+        if preserve_index:
+            rval[compact_iri(active, "@index", vocab=True)] = value["@index"]
+        if "@type" in value:
+            t = value["@type"]
+            rval[compact_iri(active, "@type", vocab=True)] = (
+                compact_iri(active, t, vocab=True) if isinstance(t, str)
+                else [compact_iri(active, x, vocab=True) for x in t]
+            )
+        elif "@language" in value:
+            rval[compact_iri(active, "@language", vocab=True)] = value["@language"]
+        if "@direction" in value:
+            rval[compact_iri(active, "@direction", vocab=True)] = value["@direction"]
+        rval[compact_iri(active, "@value", vocab=True)] = value["@value"]
+        return rval
 
-def _compact_value_keys(active: Context, value: dict) -> dict:
-    out = {}
-    for k, v in value.items():
-        key = compact_iri(active, k, vocab=True)
-        if k == "@type":
-            v = compact_iri(active, v, vocab=True) if isinstance(v, str) else [
-                compact_iri(active, t, vocab=True) for t in v
-            ]
-        elif k == "@id":
-            v = compact_iri(active, v)
-        out[key] = v
-    return out
+    # subject reference
+    from pyld_spark.jsonld.context import expand_iri
+
+    ap_iri = (
+        expand_iri(active, active_property, vocab=True)
+        if active_property is not None
+        else None
+    )
+    type_ = defn.type if defn is not None else None
+    compacted = compact_iri(active, value["@id"], vocab=(type_ == "@vocab"))
+    if type_ in ("@id", "@vocab") or ap_iri == "@graph":
+        return compacted
+    return {compact_iri(active, "@id", vocab=True): compacted}
 
 
 def compact(
@@ -375,6 +390,10 @@ def compact(
         return element
 
     defn = active.terms.get(active_property)
+    # context before the previous-context revert and any scoped contexts —
+    # the reference compacts @type VALUES and looks up type-scoped contexts
+    # against this one (jsonld.py:1500-1507, 1546-1556, 1568-1571)
+    input_ctx = active
     # revert term-scoped context for new node objects
     if active.previous is not None and "@value" not in element and set(element) != {"@id"}:
         active = active.previous
@@ -412,12 +431,13 @@ def compact(
     result: dict = {}
 
     if "@type" in element:
-        # apply type-scoped contexts in sorted compacted-term order
+        # apply type-scoped contexts in sorted compacted-term order; the
+        # scoped-context DEFINITION is looked up in input_ctx (pre-revert)
         compacted_types = sorted(
             compact_iri(active, t, vocab=True) for t in arrayify(element["@type"])
         )
         for cterm in compacted_types:
-            tdef = active.terms.get(cterm)
+            tdef = input_ctx.terms.get(cterm)
             if tdef is not None and tdef.context is not UNSET:
                 active = process_context(
                     active, tdef.context, tdef.context_base,
@@ -440,8 +460,10 @@ def compact(
             continue
 
         if expanded_property == "@type":
+            # @type VALUES compact against the pre-revert context
+            # (reference jsonld.py:1568-1571 uses input_ctx)
             types = [
-                compact_iri(active, t, vocab=True) for t in arrayify(expanded_value)
+                compact_iri(input_ctx, t, vocab=True) for t in arrayify(expanded_value)
             ]
             alias = compact_iri(active, "@type", vocab=True)
             type_def = active.terms.get(alias)

@@ -105,6 +105,10 @@ DEFAULT_BASE_IRI = "http://example.org/base/"
 class Context:
     terms: dict = field(default_factory=dict)
     base: str | None = None
+    #: True after an explicit {"@base": null} — distinguishes "nulled"
+    #: (keep IRIs relative) from "never set" (reference falls back to
+    #: DEFAULT_BASE_IRI for document-relative expansion)
+    base_nulled: bool = False
     original_base: str | None = None
     vocab: str | None = None
     default_language: str | None = None
@@ -122,6 +126,7 @@ class Context:
         return Context(
             terms=dict(self.terms),
             base=self.base,
+            base_nulled=self.base_nulled,
             original_base=self.original_base,
             vocab=self.vocab,
             default_language=self.default_language,
@@ -170,18 +175,33 @@ def process_context(
     override_protected: bool = False,
     propagate: bool = True,
     validate_scoped: bool = True,
+    cycles: set | None = None,
 ) -> Context:
     """Context Processing Algorithm (JSON-LD 1.1 API §4.1.2)."""
     loader = loader or _EMPTY_LOADER
     remote_contexts = list(remote_contexts or [])
+    if cycles is None:
+        cycles = set()
     result = active.clone()
 
-    if isinstance(local, dict) and "@propagate" in local:
-        propagate = local["@propagate"]
+    items = local if isinstance(local, list) else [local]
+    # propagate override: FIRST array element only, bool values only
+    # (reference jsonld.py:3242-3246)
+    _first = items[0] if items else None
+    if isinstance(_first, dict) and isinstance(_first.get("@propagate"), bool):
+        propagate = _first["@propagate"]
+    mode_dropped = False
     if propagate is False and result.previous is None:
         result.previous = active
+        # QUIRK PARITY: the reference's _clone_active_context drops
+        # processingMode (jsonld.py:6230-6247), so after this clone
+        # (jsonld.py:3253-3256) every dict context in this call restores the
+        # mode to the DEFAULT 'json-ld-1.1' (jsonld.py:3329-3331) — silently
+        # disabling 1.0-mode checks (e.g. {"@propagate": false} never raises
+        # 'invalid context entry' in 1.0 mode, while {"@propagate": true}
+        # does). Mirrored via this flag.
+        mode_dropped = True
 
-    items = local if isinstance(local, list) else [local]
     for context in items:
         if context is None:
             # reference checks the context built SO FAR (jsonld.py:3267-3276):
@@ -217,6 +237,10 @@ def process_context(
                     f"remote context missing @context: {url}",
                     "invalid remote context",
                 )
+            if mode_dropped:
+                result = result.clone()
+                result.processing_mode = "json-ld-1.1"
+                mode_dropped = False
             result = process_context(
                 result,
                 doc["@context"],
@@ -229,6 +253,22 @@ def process_context(
 
         if not isinstance(context, dict):
             raise JsonLdError("@context must be object/string/null", "invalid local context")
+
+        if mode_dropped:
+            # the reference's per-context restoration falls back to the
+            # default 1.1 (see QUIRK PARITY note above); @version's conflict
+            # check therefore also no-ops after the drop
+            result.processing_mode = "json-ld-1.1"
+            mode_dropped = False
+
+        # QUIRK PARITY: the reference clones the active context before
+        # processing EVERY dict context (jsonld.py:3301), and its
+        # _clone_active_context copies only mappings/@base/previousContext/
+        # @language/@vocab (jsonld.py:6230-6247) — the default @direction is
+        # silently DROPPED each time (while @language survives). A context
+        # array [{"@direction": "ltr"}, {...}] therefore ends with no
+        # default direction.
+        result.default_direction = None
 
         # @version
         if "@version" in context:
@@ -260,15 +300,18 @@ def process_context(
             value = context["@base"]
             if value is None:
                 result.base = None
+                result.base_nulled = True
             elif isinstance(value, str):
+                result.base_nulled = False
                 if is_absolute_iri(value):
                     result.base = value
                 elif result.base is not None:
                     result.base = resolve_iri(result.base, value)
                 else:
-                    raise JsonLdError(
-                        "relative @base with null base", "invalid base IRI"
-                    )
+                    # a relative @base against a null base is KEPT RAW
+                    # (reference jsonld.py:3405-3407 — _is_relative_iri is
+                    # just a string check)
+                    result.base = value
             else:
                 raise JsonLdError("@base must be string or null", "invalid base IRI")
 
@@ -349,6 +392,32 @@ def process_context(
                 validate_scoped=validate_scoped,
                 loader=loader,
             )
+            # scoped-context validation runs AFTER the definition completes
+            # (reference jsonld.py:3535-3561), guarded against string-URL
+            # cycles; the processed result is discarded
+            v = context[term]
+            if isinstance(v, dict) and "@context" in v:
+                key_ctx = v["@context"]
+                process = True
+                if isinstance(key_ctx, str):
+                    url = resolve_iri(base_url, key_ctx)
+                    if url in cycles:
+                        process = False
+                    else:
+                        cycles.add(url)
+                if process:
+                    try:
+                        process_context(
+                            result, key_ctx, base_url,
+                            loader=loader,
+                            override_protected=True,
+                            cycles=cycles,
+                        )
+                    except JsonLdError as e:
+                        raise JsonLdError(
+                            f"invalid scoped context for {term}: {e.message}",
+                            "invalid scoped context",
+                        )
     return result
 
 
@@ -583,21 +652,10 @@ def create_term_definition(
         definition.index = idx
 
     if "@context" in value:
-        ctx = value["@context"]
-        if validate_scoped:
-            try:
-                process_context(
-                    active, ctx, base_url,
-                    loader=loader,
-                    override_protected=True,
-                    remote_contexts=list(remote_contexts or []),
-                    validate_scoped=False,
-                )
-            except JsonLdError as e:
-                raise JsonLdError(
-                    f"invalid scoped context for {term}: {e.message}", "invalid scoped context"
-                )
-        definition.context = ctx
+        # store only; validation happens in process_context's term loop
+        # AFTER the definition completes (reference jsonld.py:3535-3561) —
+        # so e.g. an invalid @nest in the same definition raises first
+        definition.context = value["@context"]
         definition.context_base = base_url
 
     if "@language" in value and "@type" not in value:
@@ -681,6 +739,13 @@ def expand_iri(
             return value
     if vocab and active.vocab is not None:
         return active.vocab + value
-    if document_relative and active.base is not None:
-        return resolve_iri(active.base, value)
+    if document_relative:
+        if active.base is not None:
+            return resolve_iri(active.base, value)
+        if not active.base_nulled:
+            # no @base anywhere and no API base: the reference falls back to
+            # its synthetic document base (jsonld.py:6112-6115, the
+            # `base == ''` branch); an explicit {"@base": null} instead
+            # KEEPS the value relative (jsonld.py:6102-6104)
+            return resolve_iri(DEFAULT_BASE_IRI, value)
     return value

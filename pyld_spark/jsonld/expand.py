@@ -337,8 +337,14 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
         )
 
     if "@context" in element:
+        local_ctx = element["@context"]
+        if isinstance(local_ctx, dict) and set(local_ctx) == {"@context"}:
+            # {"@context": {"@context": ...}} (reference jsonld.py:2802-2813)
+            raise JsonLdError(
+                "keywords cannot be overridden", "keyword redefinition"
+            )
         active_ctx = process_context(
-            active_ctx, element["@context"], base_url, loader=st.loader
+            active_ctx, local_ctx, base_url, loader=st.loader
         )
 
     # type-scoped contexts
@@ -349,7 +355,16 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
             values = arrayify(element[key])
             for term in sorted(v for v in values if isinstance(v, str)):
                 tdef = type_scoped_ctx.terms.get(term)
-                if tdef is not None and tdef.context is not UNSET:
+                # a NULL type-scoped context is SKIPPED in expansion
+                # (reference _prepare_nested_context checks
+                # `ctx is not False`, jsonld.py:2836) — unlike null
+                # property-scoped contexts, which nullify, and unlike
+                # compaction, where null type-scoped contexts nullify too
+                if (
+                    tdef is not None
+                    and tdef.context is not UNSET
+                    and tdef.context is not None
+                ):
                     active_ctx = process_context(
                         active_ctx, tdef.context, tdef.context_base,
                         loader=st.loader, propagate=False,

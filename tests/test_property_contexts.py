@@ -38,6 +38,18 @@ container_values = st.sampled_from([
 ])
 
 
+scoped_contexts = st.sampled_from([
+    None,
+    {"inner": EX + "inner"},
+    {"@vocab": EX + "scoped/"},
+    {"t": {"@id": EX + "shadow", "@type": "@id"}},
+    {"@language": "de"},
+    [{"inner": EX + "i1"}, {"inner2": EX + "i2"}],
+    {"@propagate": True, "inner": EX + "inner"},
+    "not-an-object",
+])
+
+
 def _term_def():
     return st.one_of(
         iri_values,  # simple string mapping (or null)
@@ -54,6 +66,7 @@ def _term_def():
                 "@reverse": st.sampled_from([EX + "r", "@id", None]),
                 "@index": st.sampled_from([EX + "idx", "plain", None]),
                 "@nest": st.sampled_from(["@nest", "meta", "@id"]),
+                "@context": scoped_contexts,
             },
         ),
     )
@@ -158,6 +171,97 @@ def test_random_context_expansion_matches_reference(ctx, body):
     )
     if ref_code is None:
         assert equal_unordered(my_out, ref_out), (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies)
+def test_random_context_expansion_matches_reference_mode_10(ctx, body):
+    """Same differential, forced json-ld-1.0 processing mode — exercises
+    every mode-gated branch (term-definition valid keys, @included
+    fallthrough, container restrictions, 'processing mode conflict')."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    opts = {"processingMode": "json-ld-1.0"}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.expand(json.loads(json.dumps(doc)), dict(opts))
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.expand(json.loads(json.dumps(doc)), dict(opts))
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert equal_unordered(my_out, ref_out), (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies)
+def test_random_context_compaction_matches_reference(ctx, body):
+    """Compact a fixed-context document WITH the random context — drives
+    inverse-context construction and _compact_iri term selection over the
+    same randomized term-definition space."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": {"@vocab": EX}, **body}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.compact(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(ctx))
+        )
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.compact(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(ctx))
+        )
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert my_out == ref_out, (
             f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )

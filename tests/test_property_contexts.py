@@ -225,6 +225,50 @@ def test_random_context_expansion_matches_reference_mode_10(ctx, body):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
 )
 @given(contexts, bodies)
+def test_random_context_tordf_matches_reference(ctx, body):
+    """Same randomized context space through toRDF — the engine's north-star
+    output. Compared as N-Quads line sets (canonical serialization both
+    sides); error codes must match."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    opts = {"format": "application/n-quads"}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.to_rdf(json.loads(json.dumps(doc)), dict(opts))
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.to_rdf(json.loads(json.dumps(doc)), dict(opts))
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert set(my_out.split("\n")) == set(ref_out.split("\n")), (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies)
 def test_random_context_compaction_matches_reference(ctx, body):
     """Compact a fixed-context document WITH the random context — drives
     inverse-context construction and _compact_iri term selection over the

@@ -4,6 +4,7 @@ expand → toRDF → URDNA2015 must agree with the reference byte-for-byte
 
 from __future__ import annotations
 
+import json
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -224,3 +225,70 @@ def test_fromrdf_roundtrip_matches_reference(doc):
         return
     actual = api.from_rdf(nq, {"useNativeTypes": True})
     assert equal_unordered(actual, expected)
+
+
+_TORDF_OPTION_AXES = st.fixed_dictionaries({
+    "rdfDirection": st.sampled_from([None, "i18n-datatype", "compound-literal"]),
+    "produceGeneralizedRdf": st.booleans(),
+})
+
+_FROMRDF_OPTION_AXES = st.fixed_dictionaries({
+    "rdfDirection": st.sampled_from([None, "i18n-datatype", "compound-literal"]),
+    "useRdfType": st.booleans(),
+    "useNativeTypes": st.booleans(),
+})
+
+
+@settings(
+    max_examples=100, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(documents, _TORDF_OPTION_AXES, _FROMRDF_OPTION_AXES)
+def test_rdf_option_axes_match_reference(doc, tordf_opts, fromrdf_opts):
+    """Random documents through toRDF and fromRDF under every option
+    combination: rdfDirection (None / i18n-datatype / compound-literal),
+    produceGeneralizedRdf, useRdfType, useNativeTypes."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+
+    t_opts = {"format": "application/n-quads", **{
+        k: v for k, v in tordf_opts.items() if v is not None
+    }}
+    ref_nq, ref_err = None, None
+    try:
+        ref_nq = ref.to_rdf(json.loads(json.dumps(doc)), dict(t_opts))
+    except Exception:  # noqa: BLE001
+        ref_err = True
+    my_nq, my_err = None, None
+    try:
+        my_nq = api.to_rdf(json.loads(json.dumps(doc)), dict(t_opts))
+    except JsonLdError:
+        my_err = True
+    if ref_err:
+        return  # upstream (expansion) errors are covered by the other fuzz
+    assert not my_err, f"mine errored, ref did not: {t_opts}"
+    assert set(my_nq.split("\n")) == set(ref_nq.split("\n")), (
+        f"\ntordf_opts={t_opts}\nmine={my_nq!r}\nref ={ref_nq!r}"
+    )
+
+    if not ref_nq or re.search(r'\\\\[tnr"]', ref_nq):
+        return  # reference parser mis-unescapes these (documented divergence)
+    f_opts = {"format": "application/n-quads", **{
+        k: v for k, v in fromrdf_opts.items() if v is not None
+    }}
+    try:
+        expected = ref.from_rdf(ref_nq, dict(f_opts))
+    except Exception:  # noqa: BLE001
+        return
+    actual = api.from_rdf(ref_nq, dict(f_opts))
+    assert equal_unordered_top(actual, expected), (
+        f"\nfromrdf_opts={f_opts}\nmine={actual!r}\nref ={expected!r}"
+    )
+
+
+def equal_unordered_top(a, b):
+    from tests.test_expand_vs_reference import equal_unordered
+
+    return equal_unordered(a, b)

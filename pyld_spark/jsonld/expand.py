@@ -788,26 +788,52 @@ def _expand_index_map(st, active_ctx, key, defn, container, value, base_url):
                 )
         expanded_index = expand_iri(active_ctx, index, vocab=True)
         expanded_items = _expand(st, map_context, key, arrayify(items), base_url, from_map=True)
+        is_property_index = "@index" in container and index_key != "@index"
+        property_index = None
+        if is_property_index:
+            # reference quirk (jsonld.py:2619-2623): the index property is
+            # vocab-expanded only when a non-empty API base option is set
+            # (`vocab=options.get('base', '')`) — with no base the raw term
+            # string is used as the output key
+            property_index = expand_iri(active_ctx, index_key, vocab=bool(base_url))
+        # effective index key for the reference's add chain
+        # (jsonld.py:3704-3743)
+        eff_index_key = (
+            index_key if "@index" in container
+            else "@id" if "@id" in container
+            else "@type"
+        )
         for item in arrayify(expanded_items):
             if item is None:
                 continue
             if "@graph" in container and not is_graph_object(item):
                 item = {"@graph": arrayify(item)}
-            if "@index" in container:
-                if index_key != "@index":
-                    # property-valued index (@index: <prop>)
-                    re_expanded = _expand_value(active_ctx, index_key, index)
-                    prop = expand_iri(active_ctx, index_key, vocab=True)
-                    existing = arrayify(item.get(prop))
-                    item[prop] = [re_expanded] + existing
-                elif expanded_index != "@none" and "@index" not in item:
-                    item["@index"] = index
-            elif "@id" in container:
-                if expanded_index != "@none" and "@id" not in item:
-                    item["@id"] = expand_iri(active_ctx, index, document_relative=True)
-            elif "@type" in container:
+            if eff_index_key == "@type":
                 if expanded_index != "@none":
                     item["@type"] = [expanded_index] + arrayify(item.get("@type"))
+            elif (
+                is_value_object(item)
+                # substring semantics, as in the reference
+                and "@language" not in eff_index_key
+                and "@type" not in eff_index_key
+                and "@index" not in eff_index_key
+            ):
+                raise JsonLdError(
+                    f"illegal key on value object: {eff_index_key}",
+                    "invalid value object",
+                )
+            elif is_property_index:
+                # a literal '@none' key adds nothing (jsonld.py:3691-3692,
+                # 3731-3739)
+                if index != "@none":
+                    re_expanded = _expand_value(active_ctx, index_key, index)
+                    existing = arrayify(item.get(property_index))
+                    item[property_index] = [re_expanded] + existing
+            elif expanded_index != "@none" and eff_index_key not in item:
+                if eff_index_key == "@id":
+                    item["@id"] = expand_iri(active_ctx, index, document_relative=True)
+                else:
+                    item[eff_index_key] = index
             result.append(item)
     return result
 

@@ -123,8 +123,12 @@ def compact(document, ctx, options: dict | None = None) -> dict:
         compact_arrays=o.get("compactArrays", True),
         ordered=True, base_url=o.get("base"), loader=loader,
     )
+    # graph option: always produce a @graph-wrapped result (reference
+    # jsonld.py:527-536)
+    if o.get("graph") and not isinstance(compacted, list):
+        compacted = [compacted]
     if isinstance(compacted, list):
-        if not compacted:
+        if not compacted and not o.get("graph"):
             compacted = {}
         else:
             kw_graph = compact_iri(active, "@graph", vocab=True)

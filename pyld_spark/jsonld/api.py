@@ -153,7 +153,9 @@ def flatten(document, ctx=None, options: dict | None = None):
     flattened = _flatten_alg(expanded)
     if ctx is None:
         return flattened
-    return compact(flattened, ctx, {**o, "skipExpansion": True})
+    # the reference forces the @graph-wrapped form when compacting a
+    # flattened result (jsonld.py:716-718)
+    return compact(flattened, ctx, {**o, "skipExpansion": True, "graph": True})
 
 
 def to_rdf(document, options: dict | None = None):

@@ -309,3 +309,50 @@ def test_random_context_compaction_matches_reference(ctx, body):
             f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, st.sampled_from([None, True, False]))
+def test_random_context_flatten_matches_reference(ctx, body, omit_graph):
+    """Flatten a fixed-context document with the random context as the
+    flattening/compaction context, across omitGraph settings."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": {"@vocab": EX}, **body}
+    opts = {} if omit_graph is None else {"omitGraph": omit_graph}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.flatten(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(ctx)), dict(opts)
+        )
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.flatten(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(ctx)), dict(opts)
+        )
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)} omitGraph={omit_graph}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert my_out == ref_out, (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)} omitGraph={omit_graph}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

@@ -15,6 +15,7 @@ from pyld_spark.jsonld.context import (
     DEFAULT_BASE_IRI,
     Context,
     DocumentLoader,
+    arrayify,
     initial_context,
     process_context,
 )
@@ -122,6 +123,7 @@ def compact(document, ctx, options: dict | None = None) -> dict:
         active, None, expanded,
         compact_arrays=o.get("compactArrays", True),
         ordered=True, base_url=o.get("base"), loader=loader,
+        link_memo=o.get("_linkMemo"),
     )
     # graph option: always produce a @graph-wrapped result (reference
     # jsonld.py:527-536)
@@ -218,9 +220,18 @@ def frame(document, frame_doc, options: dict | None = None):
         ),
     }
     framed = frame_expanded(expanded, expanded_frame, framing_opts)
+    # @link framing produces SHARED (possibly cyclic) structures: compact
+    # with an identity memo so sharing survives, and skip the (cycle-unsafe,
+    # no-op for wildcard link frames) @null cleanup
+    linking = framing_opts["embed"] == "@link" or any(
+        isinstance(f, dict) and arrayify(f.get("@embed")) == ["@link"]
+        for f in expanded_frame
+    )
+    compact_opts = {**o, "skipExpansion": True}
+    if linking:
+        compact_opts["_linkMemo"] = {}
     compacted = compact(
-        framed, frame_ctx if frame_ctx is not None else {},
-        {**o, "skipExpansion": True},
+        framed, frame_ctx if frame_ctx is not None else {}, compact_opts
     )
     omit_graph = o.get("omitGraph", o["processingMode"] != "json-ld-1.0")
     graph_key = None
@@ -240,18 +251,36 @@ def frame(document, frame_doc, options: dict | None = None):
     return compacted
 
 
-def _cleanup_null(value):
+def _cleanup_null(value, _memo: dict | None = None):
     """Map framing '@null' markers to JSON null, removing nulls from ARRAYS
     only — object keys keep explicit null values (reference _cleanup_null,
     jsonld.py:5041-5072: e.g. a compacted @json null literal stays as
-    "prop": null)."""
+    "prop": null). Identity-memoized so the shared/cyclic structures
+    produced by @link framing keep their sharing and the walk terminates."""
+    if _memo is None:
+        _memo = {}
     if isinstance(value, list):
-        out = [_cleanup_null(v) for v in value]
-        return [v for v in out if v is not None]
+        key = id(value)
+        if key in _memo:
+            return _memo[key]
+        out: list = []
+        _memo[key] = out
+        for v in value:
+            c = _cleanup_null(v, _memo)
+            if c is not None:
+                out.append(c)
+        return out
     if value == "@null":
         return None
     if isinstance(value, dict):
-        return {k: _cleanup_null(v) for k, v in value.items()}
+        key = id(value)
+        if key in _memo:
+            return _memo[key]
+        outd: dict = {}
+        _memo[key] = outd
+        for k, v in value.items():
+            outd[k] = _cleanup_null(v, _memo)
+        return outd
     return value
 
 

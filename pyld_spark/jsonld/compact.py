@@ -364,13 +364,21 @@ def compact(
     ordered: bool = True,
     base_url: str | None = None,
     loader=None,
+    link_memo: dict | None = None,
 ):
-    """Compaction Algorithm (§6.1.2)."""
+    """Compaction Algorithm (§6.1.2).
+
+    ``link_memo``: identity-keyed cache of already-compacted node objects,
+    used by the @link framing path so SHARED (and cyclic) framed structures
+    compact to shared/cyclic output instead of recursing forever. The
+    reference's analogous options['link'] cache is dead code (an empty dict
+    fails its own truthiness guard, jsonld.py:1456-1466, so reference
+    link() RecursionErrors on cycles — deliberate divergence)."""
     if isinstance(element, list):
         result = []
         for item in element:
             compacted = compact(
-                active, active_property, item, compact_arrays, ordered, base_url, loader
+                active, active_property, item, compact_arrays, ordered, base_url, loader, link_memo
             )
             if compacted is not None:
                 result.append(compacted)
@@ -415,7 +423,7 @@ def compact(
         # top-level list objects itself)
         inner = compact(
             active, active_property, element["@list"], compact_arrays, ordered,
-            base_url, loader,
+            base_url, loader, link_memo,
         )
         if not isinstance(inner, list):
             inner = [inner]
@@ -429,6 +437,19 @@ def compact(
 
     inside_reverse = active_property == "@reverse"
     result: dict = {}
+    if link_memo is not None:
+        # @link framing: a shared/cyclic framed node compacts ONCE; later
+        # (possibly mid-build) occurrences return the same output object,
+        # reproducing the input's sharing instead of recursing forever.
+        # The body below fills `result` in place and returns it, so
+        # registering before the property loop closes cycles.
+        memo_key = id(element)
+        cached = link_memo.get(memo_key)
+        if cached is not None:
+            return cached
+        link_memo[memo_key] = result
+        # keep elements alive: id() keys are only stable while they exist
+        link_memo.setdefault("__pins__", []).append(element)
 
     if "@type" in element:
         # apply type-scoped contexts in sorted compacted-term order; the
@@ -478,7 +499,7 @@ def compact(
         if expanded_property == "@reverse":
             compacted = compact(
                 active, "@reverse", expanded_value, compact_arrays, ordered,
-                base_url, loader,
+                base_url, loader, link_memo,
             )
             for prop in list(compacted):
                 pdef = active.terms.get(prop)
@@ -494,7 +515,7 @@ def compact(
         if expanded_property == "@preserve":
             compacted = compact(
                 active, active_property, expanded_value, compact_arrays, ordered,
-                base_url, loader,
+                base_url, loader, link_memo,
             )
             if compacted != []:
                 result["@preserve"] = compacted
@@ -515,7 +536,7 @@ def compact(
         if expanded_property == "@included":
             compacted = compact(
                 active, "@included", expanded_value, compact_arrays, ordered,
-                base_url, loader,
+                base_url, loader, link_memo,
             )
             alias = compact_iri(active, "@included", vocab=True)
             result[alias] = compacted
@@ -524,7 +545,7 @@ def compact(
         if expanded_property == "@graph":
             compacted = compact(
                 active, "@graph", expanded_value, compact_arrays, ordered,
-                base_url, loader,
+                base_url, loader, link_memo,
             )
             alias = compact_iri(active, "@graph", vocab=True)
             result[alias] = compacted
@@ -533,7 +554,7 @@ def compact(
         if is_keyword(expanded_property):
             result[expanded_property] = compact(
                 active, expanded_property, expanded_value, compact_arrays, ordered,
-                base_url, loader,
+                base_url, loader, link_memo,
             )
             continue
 
@@ -570,7 +591,7 @@ def compact(
                 active, item_active_property,
                 inner if (is_list_object(expanded_item) or is_graph_object(expanded_item))
                 else expanded_item,
-                compact_arrays, ordered, base_url, loader,
+                compact_arrays, ordered, base_url, loader, link_memo,
             )
 
             if is_list_object(expanded_item):
@@ -653,7 +674,7 @@ def compact(
                     ):
                         recompacted = compact(
                             active, item_active_property, {"@id": expanded_item["@id"]},
-                            compact_arrays, ordered, base_url, loader,
+                            compact_arrays, ordered, base_url, loader, link_memo,
                         )
                         compacted_item = recompacted
                 if key is None:

@@ -566,10 +566,21 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
         state.subject_stack.pop()
 
 
-def cleanup_preserve(input_, state: FrameState):
-    """Replace {'@preserve': [...]} with its content ('@null' → None later)."""
+def cleanup_preserve(input_, state: FrameState, _memo: dict | None = None):
+    """Replace {'@preserve': [...]} with its content ('@null' → None later).
+
+    Identity-memoized: @link framing emits shared/cyclic structures, which
+    must keep their sharing (and terminate) through the walk."""
+    if _memo is None:
+        _memo = {}
     if isinstance(input_, list):
-        return [cleanup_preserve(v, state) for v in input_]
+        key = id(input_)
+        if key in _memo:
+            return _memo[key]
+        out: list = []
+        _memo[key] = out
+        out.extend(cleanup_preserve(v, state, _memo) for v in input_)
+        return out
     if isinstance(input_, dict):
         if "@preserve" in input_:
             preserved = input_["@preserve"]
@@ -577,28 +588,47 @@ def cleanup_preserve(input_, state: FrameState):
                 # keep the marker through compaction; api._cleanup_null maps
                 # it to JSON null afterwards (keeping the key)
                 return "@null"
-            result = cleanup_preserve(preserved, state)
+            result = cleanup_preserve(preserved, state, _memo)
             if isinstance(result, list) and len(result) == 1:
                 return result[0]
             return result
-        return {k: cleanup_preserve(v, state) for k, v in input_.items()}
+        key = id(input_)
+        if key in _memo:
+            return _memo[key]
+        outd: dict = {}
+        _memo[key] = outd
+        for k, v in input_.items():
+            outd[k] = cleanup_preserve(v, state, _memo)
+        return outd
     return input_
 
 
 def prune_bnode_ids(input_, to_prune: set):
     """Drop @id entries for blank nodes with a single output occurrence
     (reference _cleanup_preserve @id pop, jsonld.py:5031-5032 — value
-    objects never carry @id, so a plain tree walk matches)."""
+    objects never carry @id, so a plain tree walk matches). Identity-
+    memoized for @link-framed shared/cyclic structures."""
+    memo: dict = {}
 
     def prune(v):
         if isinstance(v, list):
-            return [prune(x) for x in v]
+            key = id(v)
+            if key in memo:
+                return memo[key]
+            out: list = []
+            memo[key] = out
+            out.extend(prune(x) for x in v)
+            return out
         if isinstance(v, dict):
-            return {
-                k: prune(val)
-                for k, val in v.items()
-                if not (k == "@id" and val in to_prune)
-            }
+            key = id(v)
+            if key in memo:
+                return memo[key]
+            outd: dict = {}
+            memo[key] = outd
+            for k, val in v.items():
+                if not (k == "@id" and val in to_prune):
+                    outd[k] = prune(val)
+            return outd
         return v
 
     return prune(input_)

@@ -112,6 +112,13 @@ def compact_iri(
     if iri is None:
         return None
     inv = inverse_context(active)
+    if is_keyword(iri):
+        # keyword alias fast path — value-shape-independent (reference
+        # jsonld.py:5164-5174); keywords force vocab mode
+        alias = inv.get(iri, {}).get("@none", {}).get("@type", {}).get("@none")
+        if alias:
+            return alias
+        vocab = True
     if vocab and iri in inv:
         # the reference's default language here ignores the default
         # @direction (jsonld.py:5178)
@@ -552,10 +559,22 @@ def compact(
             continue
 
         if is_keyword(expanded_property):
-            result[expanded_property] = compact(
-                active, expanded_property, expanded_value, compact_arrays, ordered,
-                base_url, loader, link_memo,
+            # keywords other than @graph/@list/@included (handled above):
+            # ALIAS the key and add the value AS-IS — no value compaction,
+            # add_value list-unwrapping semantics (reference
+            # jsonld.py:1656-1666)
+            alias = compact_iri(active, expanded_property)
+            vals = (
+                expanded_value if isinstance(expanded_value, list)
+                else [expanded_value]
             )
+            for v in vals:
+                if alias not in result:
+                    result[alias] = v
+                else:
+                    if not isinstance(result[alias], list):
+                        result[alias] = [result[alias]]
+                    result[alias].append(v)
             continue
 
         # regular property

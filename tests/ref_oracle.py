@@ -55,11 +55,23 @@ def _stub_modules() -> None:
         sys.modules["frozendict"] = fd
 
 
-def get_reference_jsonld():
-    """Return the reference ``pyld.jsonld`` module (oracle)."""
+def get_reference_jsonld(fresh_caches: bool = True):
+    """Return the reference ``pyld.jsonld`` module (oracle).
+
+    ``fresh_caches``: clear the reference's module-level resolved/inverse
+    context caches. The resolved-context cache keys ignore processing
+    options (base, processingMode), so entries populated by an earlier test
+    can poison a later differential comparison — real reference behavior,
+    but an order-dependent flake for parity tests."""
     _stub_modules()
     if REFERENCE_LIB not in sys.path:
         sys.path.insert(0, REFERENCE_LIB)
     from pyld import jsonld  # type: ignore
 
+    if fresh_caches:
+        try:
+            jsonld._resolved_context_cache.clear()
+            jsonld._inverse_context_cache.clear()
+        except Exception:  # noqa: BLE001 — cache internals may change
+            pass
     return jsonld

@@ -356,3 +356,67 @@ def test_random_context_flatten_matches_reference(ctx, body, omit_graph):
             f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)} omitGraph={omit_graph}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+frames = st.fixed_dictionaries(
+    {},
+    optional={
+        "@type": st.sampled_from([EX + "T", [], {}]),
+        "t": st.sampled_from([{}, [], {"@value": "x"}, {"@default": "d"}]),
+        "term2": st.sampled_from([{}, []]),
+        "@requireAll": st.booleans(),
+        "@explicit": st.booleans(),
+        "@embed": st.sampled_from(["@once", "@always", "@never"]),
+    },
+)
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, frames)
+def test_random_context_framing_matches_reference(ctx, body, frame_body):
+    """Frame a random-context document with frames that reuse the SAME
+    random context — term definitions (containers, @reverse, scoped
+    contexts, aliases) interact with the matcher and the frame's own
+    expansion."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    frame_doc = {"@context": json.loads(json.dumps(ctx)), **frame_body}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.frame(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(frame_doc))
+        )
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.frame(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(frame_doc))
+        )
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nframe={json.dumps(frame_body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert my_out == ref_out, (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nframe={json.dumps(frame_body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

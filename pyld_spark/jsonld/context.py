@@ -270,8 +270,12 @@ def process_context(
         # default direction.
         result.default_direction = None
 
-        # @version
-        if "@version" in context:
+        # @version — handled BEFORE the @import merge (reference order,
+        # jsonld.py:3306-3327); an @version arriving ONLY via @import is not
+        # marked handled and falls into the term loop, where the keyword
+        # check raises 'keyword redefinition'
+        version_handled = "@version" in context
+        if version_handled:
             if context["@version"] != 1.1:
                 raise JsonLdError(
                     f"unsupported @version: {context['@version']}", "invalid @version value"
@@ -296,7 +300,9 @@ def process_context(
                 raise JsonLdError("imported context has @import", "invalid context entry")
             context = {**imported, **context}
 
-        if "@base" in context and not remote_contexts:
+        # NOTE: the reference applies @base from REMOTE contexts too (no
+        # remote gate in its _process_context, unlike the W3C algorithm)
+        if "@base" in context:
             value = context["@base"]
             if value is None:
                 result.base = None
@@ -375,8 +381,10 @@ def process_context(
         defined: dict = {}
         skip = {
             "@base", "@vocab", "@language", "@direction", "@propagate",
-            "@import", "@version", "@protected",
+            "@import", "@protected",
         }
+        if version_handled:
+            skip.add("@version")
         for term in context:
             if term in skip:
                 continue

@@ -420,3 +420,131 @@ def test_random_context_framing_matches_reference(ctx, body, frame_body):
             f"\nframe={json.dumps(frame_body)}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies)
+def test_random_expand_context_option_matches_reference(ctx, body):
+    """The expandContext OPTION (context applied before the document's own)
+    over the random context space."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = dict(body)  # no inline @context: the option supplies it
+    opts = {"expandContext": json.loads(json.dumps(ctx))}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.expand(json.loads(json.dumps(doc)), dict(opts))
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.expand(json.loads(json.dumps(doc)), dict(opts))
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert equal_unordered(my_out, ref_out), (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )
+
+
+URL_A = "http://ctx.example/a"
+URL_B = "http://ctx.example/b"
+
+remote_ctx_values = st.sampled_from([
+    "chain-b",        # a → references b
+    "cycle-a",        # a → references a (context overflow)
+    "import-b",       # a imports b
+    "plain",          # a is a plain term context
+])
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, remote_ctx_values, st.booleans())
+def test_remote_context_loader_matches_reference(ctx, body, shape, also_inline):
+    """Remote contexts through the document loader: chains, cycles
+    ('context overflow'), @import, mixed remote+inline context arrays."""
+    import copy
+
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.context import DocumentLoader
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+
+    a_ctx = {
+        "chain-b": [{"ra": EX + "ra"}, URL_B],
+        "cycle-a": [URL_A],
+        "import-b": {"@import": URL_B, "ra": EX + "ra"},
+        "plain": {"ra": EX + "ra"},
+    }[shape]
+    docs = {
+        URL_A: {"@context": a_ctx},
+        URL_B: {"@context": json.loads(json.dumps(ctx))
+                if isinstance(ctx, dict) else {"rb": EX + "rb"}},
+    }
+    doc_ctx = [URL_A, json.loads(json.dumps(ctx))] if also_inline else URL_A
+    doc = {"@context": doc_ctx, **body, "ra": "x"}
+
+    def ref_loader(url, options=None):
+        if url not in docs:
+            raise Exception(f"404 {url}")
+        # the reference mutates loaded documents — serve copies
+        return {
+            "contextUrl": None, "documentUrl": url,
+            "document": copy.deepcopy(docs[url]),
+        }
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.expand(
+            json.loads(json.dumps(doc)), {"documentLoader": ref_loader}
+        )
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.expand(
+            json.loads(json.dumps(doc)),
+            {"documentLoader": DocumentLoader(copy.deepcopy(docs))},
+        )
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nshape={shape} inline={also_inline} ctx={json.dumps(ctx)}"
+        f"\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert equal_unordered(my_out, ref_out), (
+            f"\nshape={shape} inline={also_inline} ctx={json.dumps(ctx)}"
+            f"\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

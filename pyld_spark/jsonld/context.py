@@ -20,14 +20,16 @@ from dataclasses import dataclass, field, replace
 from pyld_spark.jsonld.errors import JsonLdError
 from pyld_spark.jsonld.iri import is_absolute_iri, resolve_iri
 
+#: EXACT reference keyword set (jsonld.py:115-147): includes @first,
+#: excludes @prefix/@null/@any — so '@prefix', '@null', '@any' document
+#: keys are keyword-LIKE (warn + drop) while '@first' falls through the
+#: generic keyword path
 KEYWORDS = {
-    "@base", "@container", "@context", "@direction", "@graph", "@id",
-    "@import", "@included", "@index", "@json", "@language", "@list", "@nest",
-    "@none", "@prefix", "@propagate", "@protected", "@reverse", "@set",
-    "@type", "@value", "@version", "@vocab",
-    # framing keywords
-    "@default", "@embed", "@explicit", "@omitDefault", "@requireAll",
-    "@preserve", "@null", "@any",
+    "@base", "@container", "@context", "@default", "@direction", "@embed",
+    "@explicit", "@first", "@graph", "@id", "@import", "@included",
+    "@index", "@json", "@language", "@list", "@nest", "@none",
+    "@omitDefault", "@propagate", "@protected", "@preserve", "@requireAll",
+    "@reverse", "@set", "@type", "@value", "@version", "@vocab",
 }
 
 _KEYWORD_LIKE_RE = re.compile(r"^@[A-Za-z]+$")

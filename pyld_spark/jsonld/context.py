@@ -94,7 +94,13 @@ class TermDef:
     index: str | None = None
 
     def same_except_protected(self, other: "TermDef") -> bool:
-        return replace(self, protected=False) == replace(other, protected=False)
+        # context_base is excluded: the reference's mapping equality doesn't
+        # track where a scoped context came from, so redefining a protected
+        # term with the same definition from a DIFFERENT document (remote vs
+        # inline) is allowed
+        return replace(self, protected=False, context_base=None) == replace(
+            other, protected=False, context_base=None
+        )
 
 
 #: The reference's synthetic document base when none is supplied

@@ -108,7 +108,19 @@ def get_values(subject: dict, prop: str) -> list:
 
 
 def has_value(subject: dict, prop: str, value) -> bool:
-    return any(compare_values(v, value) for v in get_values(subject, prop))
+    """Reference JsonLdProcessor.has_value (jsonld.py:1131-1167): @list
+    values are unwrapped; an array ``value`` never matches a single
+    stored value."""
+    if not has_property(subject, prop):
+        return False
+    val = subject[prop]
+    if isinstance(val, dict) and "@list" in val:
+        val = val["@list"]
+    if isinstance(val, list):
+        return any(compare_values(value, v) for v in val)
+    if not isinstance(value, list):
+        return compare_values(value, val)
+    return False
 
 
 def remove_property(subject: dict, prop: str) -> None:

@@ -199,9 +199,15 @@ def compact_iri(
                     type_language = "@type"
                     type_language_value = value["@type"]
             else:
+                # @id/@id@set/@type/@set@type containers only for OBJECT
+                # non-value values (reference jsonld.py:5204-5205) — a None
+                # value (compacting a bare IRI like an @type entry) gets no
+                # extra containers, so @id/@type-container terms are not
+                # selected for it
+                if isinstance(value, dict):
+                    containers += ["@id", "@id@set", "@type", "@set@type"]
                 type_language = "@type"
                 type_language_value = "@id"
-                containers += ["@id", "@id@set", "@type", "@set@type"]
             containers.append("@set")
 
         containers.append("@none")

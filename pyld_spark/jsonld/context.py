@@ -184,6 +184,7 @@ def process_context(
     propagate: bool = True,
     validate_scoped: bool = True,
     cycles: set | None = None,
+    _allow_propagate_override: bool = True,
 ) -> Context:
     """Context Processing Algorithm (JSON-LD 1.1 API §4.1.2)."""
     loader = loader or _EMPTY_LOADER
@@ -193,10 +194,17 @@ def process_context(
     result = active.clone()
 
     items = local if isinstance(local, list) else [local]
-    # propagate override: FIRST array element only, bool values only
-    # (reference jsonld.py:3242-3246)
+    # propagate override: FIRST RESOLVED context only, bool values only
+    # (reference jsonld.py:3242-3246 — the resolver flattens remote chains,
+    # so an @propagate on a NON-first element, however deeply chained, is
+    # error-checked but has no effect; _allow_propagate_override=False in
+    # the recursion for non-first remote elements mirrors that)
     _first = items[0] if items else None
-    if isinstance(_first, dict) and isinstance(_first.get("@propagate"), bool):
+    if (
+        _allow_propagate_override
+        and isinstance(_first, dict)
+        and isinstance(_first.get("@propagate"), bool)
+    ):
         propagate = _first["@propagate"]
     mode_dropped = False
     if propagate is False and result.previous is None:
@@ -210,7 +218,7 @@ def process_context(
         # does). Mirrored via this flag.
         mode_dropped = True
 
-    for context in items:
+    for idx, context in enumerate(items):
         if context is None:
             # reference checks the context built SO FAR (jsonld.py:3267-3276):
             # a protected term defined earlier in the same context array also
@@ -256,6 +264,9 @@ def process_context(
                 loader=loader,
                 remote_contexts=remote_contexts,
                 validate_scoped=validate_scoped,
+                # only a FIRST-element remote chain may carry the propagate
+                # override (reference resolver flattening semantics)
+                _allow_propagate_override=_allow_propagate_override and idx == 0,
             )
             continue
 

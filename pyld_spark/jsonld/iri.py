@@ -147,48 +147,65 @@ def resolve_iri(base: str | None, rel: str) -> str:
     return out
 
 
-def relativize_iri(base: str | None, iri: str) -> str:
-    """Best-effort inverse of :func:`resolve_iri` (used by compaction).
+def _strip_default_port(parsed) -> str | None:
+    """Authority with default http/https ports stripped (reference
+    iri_resolver.parse_authority)."""
+    auth = parsed.netloc or None
+    try:
+        port = parsed.port
+    except Exception:  # noqa: BLE001 — invalid port strings
+        port = None
+    if (
+        auth is not None
+        and port is not None
+        and (
+            (parsed.scheme == "https" and port == 443)
+            or (parsed.scheme == "http" and port == 80)
+        )
+    ):
+        auth = auth.rsplit(":", 1)[0]
+    return auth
 
-    Returns ``iri`` unchanged when no shortening is possible.
+
+def relativize_iri(base: str | None, iri: str) -> str:
+    """Exact port of the reference's unresolve
+    (iri_resolver.py:236-300), used by compaction: matching-segment
+    removal, '../' per remaining base segment, './' for the empty result,
+    './@...' guard, default-port-insensitive authority compare.
+
+    One deliberate divergence: a scheme-less base raises ValueError in the
+    reference (a crash at compaction time); we return the IRI unchanged.
     """
     if not base:
         return iri
-    b_scheme, b_auth, b_path, b_query, _ = parse_iri(base)
-    i_scheme, i_auth, i_path, i_query, i_frag = parse_iri(iri)
-    if b_scheme != i_scheme or b_auth != i_auth:
+    from urllib.parse import urlparse, urlunparse
+
+    b = urlparse(base)
+    if not b.scheme:
+        # reference raises ValueError here — graceful divergence
         return iri
-    if i_path == b_path:
-        if i_query == b_query:
-            rel = ("#" + i_frag) if i_frag is not None else ""
-            if rel == "" and b_query is not None and i_query is None:
-                return iri
-            if rel:
-                return rel
-            # same doc, no fragment
-            seg = b_path[b_path.rfind("/") + 1:]
-            return seg or iri
-        rel = ("?" + i_query) if i_query is not None else ""
-        if i_frag is not None:
-            rel += "#" + i_frag
-        return rel or iri
-    b_segs = b_path.split("/")[:-1]
-    i_segs = i_path.split("/")
-    common = 0
+    r = urlparse(iri)
+    if not (b.scheme == r.scheme and _strip_default_port(b) == _strip_default_port(r)):
+        return iri
+
+    base_segments = remove_dot_segments(b.path).split("/")
+    iri_segments = remove_dot_segments(r.path).split("/")
+    # do not consume the last segment unless a query/fragment follows
+    last = 0 if (r.fragment or r.query) else 1
     while (
-        common < len(b_segs)
-        and common < len(i_segs) - 1
-        and b_segs[common] == i_segs[common]
+        base_segments
+        and len(iri_segments) > last
+        and base_segments[0] == iri_segments[0]
     ):
-        common += 1
-    ups = len(b_segs) - common
-    rel = "../" * ups + "/".join(i_segs[common:])
-    if rel == "":
-        rel = "./"
-    if i_query is not None:
-        rel += "?" + i_query
-    if i_frag is not None:
-        rel += "#" + i_frag
-    if len(rel) < len(iri):
-        return rel
-    return iri
+        base_segments.pop(0)
+        iri_segments.pop(0)
+    rval = ""
+    if base_segments:
+        # the last base segment is not a path level
+        base_segments.pop()
+        rval += "../" * len(base_segments)
+    rval += "/".join(iri_segments)
+    # relative IRIs must not look like keywords
+    if rval and rval[0] == "@":
+        rval = "./" + rval
+    return urlunparse(("", "", rval, "", r.query or "", r.fragment or "")) or "./"

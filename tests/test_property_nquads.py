@@ -161,3 +161,41 @@ def test_malformed_lines_rejected_like_reference(line):
         my_err = True
 
     assert my_err == ref_err, f"line={line!r} ref_err={ref_err} my_err={my_err}"
+
+
+# --- relativization (compaction uses it for @id values) ---
+
+_rel_parts = st.sampled_from(["a", "b", "dd", "@type", "x.y", ""])
+_abs_iris = st.builds(
+    lambda scheme, host, port, segs, q, f: (
+        f"{scheme}://{host}{port}/" + "/".join(segs)
+        + (f"?{q}" if q else "") + (f"#{f}" if f else "")
+    ),
+    st.sampled_from(["http", "https"]),
+    st.sampled_from(["e", "other.example"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(_rel_parts, max_size=4),
+    st.sampled_from([None, "q=1", ""]),
+    st.sampled_from([None, "frag", ""]),
+)
+
+
+@settings(
+    max_examples=500, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(_abs_iris, _abs_iris)
+def test_relativize_matches_reference_unresolve(base, iri):
+    from tests.ref_oracle import get_reference_jsonld
+
+    get_reference_jsonld()
+    from pyld.iri_resolver import unresolve
+
+    from pyld_spark.jsonld.iri import relativize_iri
+
+    mine = relativize_iri(base, iri)
+    try:
+        ref = unresolve(iri, base)
+    except Exception:  # noqa: BLE001 — reference crash (scheme-less base)
+        return
+    assert mine == ref, f"base={base!r} iri={iri!r} mine={mine!r} ref={ref!r}"

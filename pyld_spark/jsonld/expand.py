@@ -380,12 +380,7 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
         st, active_ctx, type_scoped_ctx, active_property, element, result,
         nests, base_url, input_type, frame,
     )
-    while nests:
-        nest_el = nests.pop(0)
-        _expand_keys(
-            st, active_ctx, type_scoped_ctx, active_property, nest_el, result,
-            nests, base_url, input_type, frame,
-        )
+    _process_nests(st, nests, active_property, result, base_url, frame)
 
     # --- post-processing ---
     if "@value" in result:
@@ -524,10 +519,13 @@ def _expand_keys(
         if defn is not None and defn.type == "@json":
             expanded_value = {"@value": value, "@type": "@json"}
         elif "@language" in container and isinstance(value, dict):
-            expanded_value = _expand_language_map(active_ctx, defn, value)
+            expanded_value = _expand_language_map(
+                _term_scoped(st, active_ctx, defn), active_ctx, defn, value
+            )
         elif (container & {"@index", "@type", "@id"}) and isinstance(value, dict):
             expanded_value = _expand_index_map(
-                st, active_ctx, key, defn, container, value, base_url
+                st, active_ctx, _term_scoped(st, active_ctx, defn),
+                key, defn, container, value, base_url,
             )
         else:
             expanded_value = _expand(st, active_ctx, key, value, base_url)
@@ -544,7 +542,14 @@ def _expand_keys(
                 for v in arrayify(expanded_value)
             ]
 
-        if defn is not None and defn.reverse:
+        # the reverse check consults the TERM-SCOPED mapping (reference
+        # jsonld.py:2700) — a null scoped context on a reverse term erases
+        # the mapping and the value lands as a FORWARD property under the
+        # already-computed expanded property
+        rdefn = defn
+        if defn is not None and defn.context is not UNSET:
+            rdefn = _term_scoped(st, active_ctx, defn).terms.get(key)
+        if rdefn is not None and rdefn.reverse:
             reverse_map = result.setdefault("@reverse", {})
             for item in arrayify(expanded_value):
                 if is_value_object(item) or is_list_object(item):
@@ -737,12 +742,13 @@ def _expand_keyword(
                     reverse_map.setdefault(prop, []).append(item)
         return True
     if expanded_property == "@nest":
-        for nv in arrayify(value):
-            if not isinstance(nv, dict) or any(
-                expand_iri(active_ctx, k, vocab=True) == "@value" for k in nv
-            ):
-                raise JsonLdError("invalid @nest value", "invalid @nest value")
-            nests.append(nv)
+        # collection only — validation happens when nests are PROCESSED
+        # (reference jsonld.py:2599-2601, 2750-2786), so errors from other
+        # keys of this node (e.g. colliding keywords) win over an invalid
+        # @nest value. The nest term's scoped context travels along.
+        nests.append(
+            (value, _term_scoped(st, active_ctx, active_ctx.terms.get(key)))
+        )
         return True
     # every other keyword (@default/@embed/@explicit/@omitDefault/
     # @requireAll/@none/@preserve/@base/@vocab/@version/...) has no specific
@@ -752,12 +758,83 @@ def _expand_keyword(
     return False
 
 
-def _expand_language_map(active_ctx: Context, defn, value: dict) -> list:
+def _process_nests(st, nests, active_property, result, base_url, frame):
+    """Nested values merge into the current node with the nest term's
+    scoped context active and their own local/type-scoped context prep
+    (reference jsonld.py:2750-2786). Depth-first: each nested value is
+    fully expanded (including its own nests) before the next."""
+    for value, term_ctx in nests:
+        for nv in arrayify(value):
+            if not isinstance(nv, dict):
+                raise JsonLdError(
+                    "nested value must be a node object", "invalid @nest value"
+                )
+            active_ctx = term_ctx
+            if "@context" in nv:
+                local_ctx = nv["@context"]
+                if isinstance(local_ctx, dict) and set(local_ctx) == {"@context"}:
+                    raise JsonLdError(
+                        "keywords cannot be overridden", "keyword redefinition"
+                    )
+                active_ctx = process_context(
+                    active_ctx, local_ctx, base_url, loader=st.loader
+                )
+            type_scoped_ctx = active_ctx
+            input_type = None
+            for key in sorted(nv):
+                if _expand_key_iri(active_ctx, key) == "@type":
+                    values = arrayify(nv[key])
+                    for term in sorted(
+                        v for v in values if isinstance(v, str)
+                    ):
+                        tdef = type_scoped_ctx.terms.get(term)
+                        if (
+                            tdef is not None
+                            and tdef.context is not UNSET
+                            and tdef.context is not None
+                        ):
+                            active_ctx = process_context(
+                                active_ctx, tdef.context, tdef.context_base,
+                                loader=st.loader, propagate=False,
+                            )
+                    if values:
+                        last = values[-1]
+                        if isinstance(last, str):
+                            input_type = expand_iri(active_ctx, last, vocab=True)
+            # the @value check runs AFTER context prep (reference
+            # jsonld.py:2764-2773)
+            if any(_expand_key_iri(active_ctx, k) == "@value" for k in nv):
+                raise JsonLdError(
+                    "nested value must be a node object", "invalid @nest value"
+                )
+            sub_nests: list = []
+            _expand_keys(
+                st, active_ctx, type_scoped_ctx, active_property, nv, result,
+                sub_nests, base_url, input_type, frame,
+            )
+            _process_nests(st, sub_nests, active_property, result, base_url, frame)
+
+
+def _term_scoped(st: _State, active_ctx: Context, defn) -> Context:
+    """Apply the term's scoped context for container-map handling
+    (reference jsonld.py:2590-2597) — a NULL scoped context nullifies
+    here, erasing e.g. a custom @index definition."""
+    if defn is None or defn.context is UNSET:
+        return active_ctx
+    return process_context(
+        active_ctx, defn.context, defn.context_base,
+        loader=st.loader, override_protected=True,
+    )
+
+
+def _expand_language_map(term_ctx: Context, active_ctx: Context, defn, value: dict) -> list:
     result = []
     direction = defn.direction if defn.direction is not UNSET else active_ctx.default_direction
     for lang in sorted(value):
         items = arrayify(value[lang])
-        expanded_lang = expand_iri(active_ctx, lang, vocab=True)
+        # language keys expand in the TERM-SCOPED context (reference
+        # _expand_language_map receives term_ctx, jsonld.py:2612)
+        expanded_lang = expand_iri(term_ctx, lang, vocab=True)
         for item in items:
             if item is None:
                 continue
@@ -774,9 +851,13 @@ def _expand_language_map(active_ctx: Context, defn, value: dict) -> list:
     return result
 
 
-def _expand_index_map(st, active_ctx, key, defn, container, value, base_url):
+def _expand_index_map(st, active_ctx, term_ctx, key, defn, container, value, base_url):
     result = []
-    index_key = defn.index if defn is not None and defn.index else "@index"
+    # the custom @index key is looked up in the TERM-SCOPED context
+    # (reference jsonld.py:2615) — a null scoped context erases the term
+    # and its custom index, reverting to plain @index
+    tdefn = term_ctx.terms.get(key)
+    index_key = tdefn.index if tdefn is not None and tdefn.index else "@index"
     for index in sorted(value):
         items = value[index]
         map_context = active_ctx

@@ -483,11 +483,15 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
             if flags["explicit"] and prop not in frame_obj:
                 continue
             for item in values:
-                subframe = frame_obj.get(prop)
-                if isinstance(subframe, list) and subframe and isinstance(subframe[0], dict):
-                    sub = subframe
-                elif isinstance(subframe, dict):
-                    sub = [subframe]
+                # the subframe is taken VERBATIM when the property exists in
+                # the frame — even [] — so recursion into subject references
+                # validates it and raises 'invalid frame' for empty patterns
+                # (reference jsonld.py:4504-4507 + the _match_frame
+                # validation); implicit only when ABSENT
+                if prop in frame_obj:
+                    sub = frame_obj[prop]
+                    if isinstance(sub, dict):
+                        sub = [sub]
                 else:
                     sub = _implicit_frame(flags)
                 if is_list_object(item):

@@ -212,11 +212,10 @@ def compact_iri(
 
         containers.append("@none")
         if active.processing_mode != "json-ld-1.0":
-            # reference parity: @index candidates only for actual values
-            # (an empty property — value None — falls through to CURIE)
-            if value is not None and (
-                not isinstance(value, dict) or "@index" not in value
-            ):
+            # low-priority @index candidates for OBJECT values only
+            # (reference jsonld.py:5292-5295 `_is_object(value)`) — None and
+            # marker strings fall through to vocab/CURIE
+            if isinstance(value, dict) and "@index" not in value:
                 containers += ["@index", "@index@set"]
             if is_value_object(value) and set(value) == {"@value"}:
                 containers += ["@language", "@language@set"]
@@ -638,6 +637,15 @@ def compact(
                 compacted_item = _compact_graph_item(
                     active, nest_result, item_active_property, expanded_item,
                     compacted_item, container, compact_arrays, as_array,
+                )
+                continue
+
+            if not isinstance(expanded_item, dict):
+                # a framing '@null'/@preserve marker (our cleanup runs
+                # before compaction, unlike the reference's) — bypass any
+                # container grouping; api._cleanup_null maps it to JSON null
+                _add_compacted(
+                    nest_result, item_active_property, compacted_item, as_array
                 )
                 continue
 

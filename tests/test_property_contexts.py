@@ -548,3 +548,45 @@ def test_remote_context_loader_matches_reference(ctx, body, shape, also_inline):
             f"\nbody={json.dumps(body)}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, st.sampled_from(["URDNA2015", "URGNA2012"]))
+def test_random_context_normalize_matches_reference(ctx, body, algorithm):
+    """Canonicalization over the random-context space — expansion quirks
+    feeding URDNA2015/URGNA2012 must agree byte-for-byte."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    opts = {"algorithm": algorithm, "format": "application/n-quads"}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.normalize(json.loads(json.dumps(doc)), dict(opts))
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.normalize(json.loads(json.dumps(doc)), dict(opts))
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nalg={algorithm} ctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+    )
+    if ref_code is None:
+        assert my_out == ref_out, (
+            f"\nalg={algorithm} ctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

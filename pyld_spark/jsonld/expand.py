@@ -516,9 +516,10 @@ def _expand_keys(
         defn = active_ctx.terms.get(key)
         container = defn.container if defn is not None else frozenset()
 
-        if defn is not None and defn.type == "@json":
-            expanded_value = {"@value": value, "@type": "@json"}
-        elif "@language" in container and isinstance(value, dict):
+        # container-map branches take precedence over @json coercion for
+        # OBJECT values (reference dispatch order, jsonld.py:2607-2667:
+        # the @json check lives in the final else)
+        if "@language" in container and isinstance(value, dict):
             expanded_value = _expand_language_map(
                 _term_scoped(st, active_ctx, defn), active_ctx, defn, value
             )
@@ -527,6 +528,8 @@ def _expand_keys(
                 st, active_ctx, _term_scoped(st, active_ctx, defn),
                 key, defn, container, value, base_url,
             )
+        elif defn is not None and defn.type == "@json":
+            expanded_value = {"@value": value, "@type": "@json"}
         else:
             expanded_value = _expand(st, active_ctx, key, value, base_url)
 

@@ -115,10 +115,37 @@ bodies = st.fixed_dictionaries(
             st.dictionaries(
                 st.sampled_from(["en", "k1", EX + "a", "@none"]),
                 st.text(max_size=4), max_size=2),
+            # structural shapes
+            st.fixed_dictionaries({"@list": st.lists(
+                st.one_of(st.text(max_size=3),
+                          st.lists(st.text(max_size=2), max_size=2)),
+                max_size=2)}),
+            st.fixed_dictionaries({"@set": st.lists(
+                st.text(max_size=3), max_size=2)}),
+            st.fixed_dictionaries({"@graph": st.lists(
+                st.fixed_dictionaries({}, optional={
+                    "t": st.text(max_size=3), "@id": st.just(EX + "g")}),
+                max_size=2)}),
         ),
         "term2": st.text(max_size=6),
         "ex:curie": st.text(max_size=4),
         "t:suffix": st.text(max_size=4),
+        "@reverse": st.one_of(
+            st.fixed_dictionaries({"t": st.fixed_dictionaries(
+                {"@id": st.just(EX + "rn")})}),
+            st.fixed_dictionaries({"term2": st.text(max_size=3)}),
+            st.text(max_size=3),
+        ),
+        "@included": st.one_of(
+            st.fixed_dictionaries({"@id": st.just(EX + "inc"),
+                                   "term2": st.text(max_size=3)}),
+            st.fixed_dictionaries({"@value": st.text(max_size=3)}),
+        ),
+        "@index": st.sampled_from(["i0", 7]),
+        "@nest": st.one_of(
+            st.fixed_dictionaries({"term2": st.text(max_size=3)}),
+            st.text(max_size=3),
+        ),
     },
 )
 

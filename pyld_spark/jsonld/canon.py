@@ -55,7 +55,12 @@ class URDNA2015:
             for term in self._quad_bnode_terms(quad):
                 self.bnode_to_quads.setdefault(term["value"], []).append(quad)
 
-        non_normalized = set(self.bnode_to_quads)
+        # sorted, not set-ordered: the reference iterates a set here
+        # (canon.py:58,73), which makes its *mapping* on automorphic graphs
+        # PYTHONHASHSEED-dependent (the canonical N-Quads string is invariant
+        # either way). We sort so the mapping is run-to-run deterministic —
+        # required for idempotent resume of the relabel stage at scale.
+        non_normalized = sorted(self.bnode_to_quads)
         # first-degree hashes are label-independent: one grouping pass
         hash_to_bnodes: dict[str, list] = {}
         for bnode in non_normalized:

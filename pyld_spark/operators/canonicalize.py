@@ -110,12 +110,93 @@ def first_degree_hashes(triples: DataFrame) -> DataFrame:
     )
 
 
-def canonical_labels(triples: DataFrame) -> DataFrame:
+def _wl_refined_labels(triples: DataFrame, fd: DataFrame, n_iters: int = 6) -> DataFrame:
+    """Deterministic WL-style hash refinement for OVERSIZED ambiguous docs.
+
+    The exact per-doc URDNA2015 fallback puts a whole document into one
+    ``applyInPandas`` group and, on large automorphic structures (e.g. a
+    symmetric cycle of 10^6 bnodes where every first-degree hash collides),
+    hash-n-degree explores permutations — unbounded CPU *and* one-executor
+    memory. Docs whose quad count exceeds the guard route here instead:
+
+    1. seed every bnode with its first-degree hash;
+    2. ``n_iters`` rounds of ``h' = sha2(h || sorted multiset of
+       (direction:predicate:neighbor_h))`` over the bnode↔bnode adjacency
+       edges — one join + one agg per round, fully distributed;
+    3. labels by ``row_number`` over ``(h, bnode)`` per doc.
+
+    For bnodes WL cannot distinguish (true automorphic orbits) the original
+    bnode id breaks the tie — deterministic given deterministic input labels
+    (ours are ``_:b{n}`` in node-map order). Labels on this path are
+    deterministic but NOT URDNA2015-order-identical (URDNA2015 issues labels
+    in its own hash-n-degree processing order). This is the documented
+    degradation the guard buys: bounded memory and polynomial work at 100-TB
+    scale on oversized ambiguous docs, where reference pyld either OOMs or
+    explores permutations without bound and completes neither.
+    """
+    # bnode↔bnode adjacency: one row per directed bnode pair per quad
+    bsub = F.col("subj").startswith("_:")
+    bobj = F.col("obj_kind") == "blank node"
+    pairs = triples.select(
+        "doc_id", "subj", "pred", "obj_value",
+        bsub.alias("_bs"), bobj.alias("_bo"),
+    )
+    out_e = (
+        pairs.filter(F.col("_bs") & F.col("_bo"))
+        .select("doc_id", F.col("subj").alias("bnode"),
+                F.concat(F.lit("o:"), F.col("pred")).alias("edge"),
+                F.col("obj_value").alias("nbr"))
+    )
+    in_e = (
+        pairs.filter(F.col("_bs") & F.col("_bo"))
+        .select("doc_id", F.col("obj_value").alias("bnode"),
+                F.concat(F.lit("i:"), F.col("pred")).alias("edge"),
+                F.col("subj").alias("nbr"))
+    )
+    edges = out_e.unionByName(in_e)
+
+    h = fd.select("doc_id", "bnode", F.col("fd_hash").alias("h"))
+    for _ in range(n_iters):
+        nbr_h = h.select(
+            F.col("doc_id").alias("_nd"), F.col("bnode").alias("_nb"),
+            F.col("h").alias("nbr_h"),
+        )
+        sigs = (
+            edges.join(
+                nbr_h,
+                (F.col("doc_id") == F.col("_nd")) & (F.col("nbr") == F.col("_nb")),
+                "left",
+            )
+            .groupBy("doc_id", "bnode")
+            .agg(F.concat_ws("|", F.sort_array(F.collect_list(
+                F.concat(F.col("edge"), F.lit(":"), F.col("nbr_h"))
+            ))).alias("sig"))
+        )
+        h = (
+            h.join(sigs, ["doc_id", "bnode"], "left")
+            .withColumn("h", F.sha2(F.concat_ws("#", F.col("h"), F.coalesce(F.col("sig"), F.lit(""))), 256))
+            .select("doc_id", "bnode", "h")
+        )
+        # cut the 6-round lineage so the plan doesn't re-derive every round
+        h = h.localCheckpoint(eager=False)
+
+    w_rank = Window.partitionBy("doc_id").orderBy("h", "bnode")
+    return h.withColumn(
+        "label",
+        F.concat(F.lit("_:c14n"), (F.row_number().over(w_rank) - 1).cast("string")),
+    ).select("doc_id", "bnode", "label")
+
+
+def canonical_labels(triples: DataFrame, max_exact_quads: int = 100_000) -> DataFrame:
     """(doc_id, bnode) → canonical label ``_:c14nN`` (doc-local numbering).
 
     Fast path: unique first-degree hashes → row_number over sorted hashes.
     Slow path (per-doc exact URDNA2015 fallback): only for docs where any
-    hash collides — grouped Arrow UDF over just those docs' quads.
+    hash collides — grouped Arrow UDF over just those docs' quads, guarded
+    by ``max_exact_quads``: ambiguous docs with more quads than the bound
+    never enter the single-group UDF (executor-memory / permutation-blowup
+    hazard) and take the distributed WL-refinement path instead
+    (:func:`_wl_refined_labels`).
     """
     fd = first_degree_hashes(triples)
     w_doc = Window.partitionBy("doc_id", "fd_hash")
@@ -129,7 +210,15 @@ def canonical_labels(triples: DataFrame) -> DataFrame:
         .select("doc_id", "bnode", "label")
     )
 
-    hard_triples = triples.join(F.broadcast(ambiguous_docs), "doc_id", "left_semi")
+    # giant-document guard: split ambiguous docs by quad count
+    doc_sizes = (
+        triples.join(F.broadcast(ambiguous_docs), "doc_id", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("_nq"))
+    )
+    small_docs = doc_sizes.filter(F.col("_nq") <= max_exact_quads).select("doc_id")
+    big_docs = doc_sizes.filter(F.col("_nq") > max_exact_quads).select("doc_id")
+
+    hard_triples = triples.join(F.broadcast(small_docs), "doc_id", "left_semi")
 
     def exact(pdf: pd.DataFrame) -> pd.DataFrame:
         from pyld_spark.jsonld.canon import URDNA2015
@@ -164,10 +253,14 @@ def canonical_labels(triples: DataFrame) -> DataFrame:
 
     # applyInPandas guarantees each UDF call sees one whole document
     hard = hard_triples.groupBy("doc_id").applyInPandas(exact, _LABEL_SCHEMA)
-    return easy.unionByName(hard)
+    oversized = _wl_refined_labels(
+        triples.join(F.broadcast(big_docs), "doc_id", "left_semi"),
+        fd.join(F.broadcast(big_docs), "doc_id", "left_semi"),
+    )
+    return easy.unionByName(hard).unionByName(oversized)
 
 
-def canonicalize_triples(triples: DataFrame) -> DataFrame:
+def canonicalize_triples(triples: DataFrame, max_exact_quads: int = 100_000) -> DataFrame:
     """Relabel every blank node in the triples table with its canonical
     per-document label (prefixed with the doc namespace for corpus-global
     uniqueness).
@@ -176,7 +269,7 @@ def canonicalize_triples(triples: DataFrame) -> DataFrame:
     one small map per doc_id and joined once on doc_id (all three bnode
     positions relabel via ``element_at`` on that map) — 1 exchange of the
     fat triples table instead of 3."""
-    labels = canonical_labels(triples).withColumn(
+    labels = canonical_labels(triples, max_exact_quads=max_exact_quads).withColumn(
         "global_label",
         F.concat(F.lit("_:d"), F.substring(F.sha2(F.col("doc_id"), 256), 1, 16),
                  F.lit("_"), F.substring(F.col("label"), 3, 1000)),

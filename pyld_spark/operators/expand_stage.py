@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+from collections import OrderedDict
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,8 +50,10 @@ NQUADS_SCHEMA = StructType(
     ]
 )
 
-# executor-process-level cache of processed contexts (keyed by canonical JSON)
-_CTX_CACHE: dict = {}
+# executor-process-level LRU cache of processed contexts (keyed by canonical
+# JSON); OrderedDict move-to-end on hit, evict oldest single entry at capacity
+# so a pipeline cycling >64 distinct per-doc contexts keeps its working set
+_CTX_CACHE: OrderedDict = OrderedDict()
 _CTX_CACHE_MAX = 64
 
 
@@ -61,9 +64,11 @@ def _processed_context(ctx_value, base_url):
 
     key = (json.dumps(ctx_value, sort_keys=True, default=str), base_url)
     cached = _CTX_CACHE.get(key)
+    if cached is not None:
+        _CTX_CACHE.move_to_end(key)
     if cached is None:
-        if len(_CTX_CACHE) >= _CTX_CACHE_MAX:
-            _CTX_CACHE.clear()
+        while len(_CTX_CACHE) >= _CTX_CACHE_MAX:
+            _CTX_CACHE.popitem(last=False)
         # the default base must be present BEFORE context processing — a
         # non-propagating context snapshots `previous` then (api.expand
         # applies the same rule)

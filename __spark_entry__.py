@@ -322,6 +322,16 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames_stub(attach_fake_payload(_docs(spark, sf_dir)), fake=True)
 
 
+def _q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode kernel through the deterministic fake path (the real
+    PCM-16 WAV parser behind the same mapInPandas signature is certified by
+    tests/test_codecs.py — fake payloads here are text bytes, not RIFF)."""
+    ensure_workers_can_import(spark)
+    from pyld_spark.operators.multimodal import attach_fake_payload, decode_audio_stub
+
+    return decode_audio_stub(attach_fake_payload(_docs(spark, sf_dir)), fake=True)
+
+
 def _q_compact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.compact_stage import compact_corpus_stats
     from pyld_spark.transcripts import VOCAB as _V, XSD as _X
@@ -453,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_audio": _q_media_audio,
         "compact_corpus": _q_compact_corpus,
     }
 
@@ -820,6 +831,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(list_sum(bl), 0) AS BIGINT) AS byte_sum,
                    CAST(len(list_distinct(bl)) AS BIGINT) AS n_distinct_bytes
             FROM b""",
+        "media_audio": """
+            WITH p AS (SELECT doc_id, encode(text || text) AS payload
+                       FROM documents WHERE doc_id % 3 = 1)
+            SELECT doc_id,
+                   CAST(octet_length(payload) // 2 AS BIGINT) AS n_samples,
+                   CAST(16000 AS INT) AS sample_rate,
+                   md5(lower(hex(payload))) AS samples_checksum
+            FROM p""",
         "media_frames": """
             WITH p AS (SELECT doc_id, encode(text || text) AS payload
                        FROM documents WHERE doc_id % 3 = 2),

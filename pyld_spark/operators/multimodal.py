@@ -121,39 +121,103 @@ def decode_image_stub(media: DataFrame, target_size: tuple[int, int] = (224, 224
                       fake: bool = False) -> DataFrame:
     """Image decode + resize kernel.
 
-    STUB: real decoding needs PIL/libjpeg (absent in this container). With
-    ``fake=True`` a deterministic fake decode (sha1 of payload as the "pixel
-    checksum") exercises the identical schema/batch/partitioning path.
+    With ``fake=True`` a deterministic fake decode (md5 of the payload hex as
+    the "pixel checksum") exercises the identical schema/batch/partitioning
+    path and stays SQL-oracle-replayable. With ``fake=False`` the payload is
+    REALLY decoded: PNG via the pure-numpy codec
+    (:func:`pyld_spark.operators.codecs.decode_png` — zlib + scanline
+    unfiltering, no PIL), nearest-neighbor-resized to ``target_size``, and
+    checksummed over the decoded pixel bytes. JPEG/WebP (libjpeg-backed)
+    remain ``NotImplementedError``.
     """
 
     tw, th = target_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyld_spark.operators.codecs import decode_png, resize_nearest
+
         for pdf in batches:
             rows = []
             for doc_id, mt, payload, w, h in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"],
                 pdf["width"], pdf["height"],
             ):
-                if mt != "image/png":
+                if mt not in ("image/png", "image/jpeg", "image/webp"):
                     continue
-                if not fake:
+                if fake:
+                    if mt != "image/png":
+                        continue
+                    # md5 over the hex rendering: replayable in SQL (md5 of a
+                    # BLOB isn't portable; md5 of its hex string is)
+                    digest = hashlib.md5(
+                        bytes(payload or b"").hex().encode("ascii")
+                    ).hexdigest()
+                    rows.append((int(doc_id), digest, min(tw, int(w)), min(th, int(h))))
+                    continue
+                if mt != "image/png":
                     raise NotImplementedError(
-                        "image decode requires PIL/libjpeg — not available in "
-                        "this container; pass fake=True for the deterministic "
-                        "test double"
+                        f"{mt} decode requires libjpeg/libwebp — not available "
+                        "in this container (PNG decodes natively)"
                     )
-                # md5 over the hex rendering: replayable in SQL (md5 of a
-                # BLOB isn't portable; md5 of its hex string is)
-                digest = hashlib.md5(
-                    bytes(payload or b"").hex().encode("ascii")
-                ).hexdigest()
-                rows.append((int(doc_id), digest, min(tw, int(w)), min(th, int(h))))
+                arr = decode_png(bytes(payload or b""))
+                resized = resize_nearest(arr, (tw, th))
+                digest = hashlib.md5(resized.tobytes()).hexdigest()
+                rows.append((int(doc_id), digest, tw, th))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "pixels_checksum", "out_width", "out_height"]
             )
 
     return media.mapInPandas(run, DECODE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("samples_checksum", StringType(), False),
+    ]
+)
+
+
+def decode_audio_stub(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode kernel (``audio/wav`` rows).
+
+    ``fake=True``: deterministic SQL-replayable double — ``n_samples`` =
+    payload bytes // 2, rate 16000, checksum = md5 of the payload hex.
+    ``fake=False``: REAL PCM-16 WAV parse via
+    :func:`pyld_spark.operators.codecs.decode_wav` (pure struct+numpy);
+    non-PCM/compressed codecs raise ``NotImplementedError``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyld_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio/wav":
+                    continue
+                b = bytes(payload or b"")
+                if fake:
+                    rows.append((
+                        int(doc_id), len(b) // 2, 16_000,
+                        hashlib.md5(b.hex().encode("ascii")).hexdigest(),
+                    ))
+                else:
+                    samples, rate = decode_wav(b)
+                    rows.append((
+                        int(doc_id), int(samples.shape[0]), int(rate),
+                        hashlib.md5(samples.tobytes()).hexdigest(),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "samples_checksum"],
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

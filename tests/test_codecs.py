@@ -1,0 +1,200 @@
+"""Real media codecs (round-3 verdict item 4): pure stdlib+numpy PNG and
+WAV decode so ``fake=False`` works end-to-end for one format per media type.
+
+The PNG decoder is differentially checked against hand-built filtered
+scanlines (all five filter types), and the Spark kernels are driven with
+REAL generated payloads — not the deterministic fakes the gate uses.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pyld_spark.operators.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------- PNG
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    arr = _rng(channels).integers(0, 256, size=(13, 7, channels), dtype=np.uint8)
+    decoded = decode_png(encode_png(arr))
+    assert decoded.shape == arr.shape
+    assert np.array_equal(decoded, arr)
+
+
+def test_png_grayscale_2d_input():
+    arr = _rng(9).integers(0, 256, size=(5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr[:, :, None])
+
+
+def _png_with_filters(arr, filter_types):
+    """Re-encode `arr` applying the given per-scanline filter types — an
+    independent straight-from-the-spec filterer to test the unfilterer."""
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int32)
+    out_rows = []
+    for y, f in enumerate(filter_types):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, dtype=np.int32), cur[:-c]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(c, dtype=np.int32), cur[:-c]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            left = np.concatenate([np.zeros(c, dtype=np.int32), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]])
+            enc = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                p = int(left[i]) + int(prev[i]) - int(ul[i])
+                pa, pb, pc = abs(p - left[i]), abs(p - prev[i]), abs(p - ul[i])
+                pred = left[i] if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else ul[i])
+                enc[i] = (cur[i] - pred) & 0xFF
+        out_rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(out_rows)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_all_filter_types_unfilter(channels):
+    arr = _rng(42 + channels).integers(0, 256, size=(10, 6, channels), dtype=np.uint8)
+    data = _png_with_filters(arr, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(data), arr)
+
+
+def test_png_rejects_garbage_and_bad_crc():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    good = encode_png(np.zeros((2, 2), dtype=np.uint8))
+    corrupted = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
+    with pytest.raises(ValueError):
+        decode_png(corrupted)
+
+
+def test_png_exotic_features_raise_notimplemented():
+    # 16-bit depth header
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(data)
+
+
+def test_resize_nearest_identity_and_downscale():
+    arr = _rng(3).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    assert np.array_equal(resize_nearest(arr, (8, 8)), arr)
+    half = resize_nearest(arr, (4, 4))
+    assert half.shape == (4, 4, 3)
+    assert np.array_equal(half, arr[::2, ::2])
+
+
+# ---------------------------------------------------------------- WAV
+
+
+@pytest.mark.parametrize("shape", [(100,), (64, 2)])
+def test_wav_roundtrip(shape):
+    samples = _rng(7).integers(-32768, 32768, size=shape).astype(np.int16)
+    decoded, rate = decode_wav(encode_wav(samples, 22_050))
+    assert rate == 22_050
+    want = samples[:, None] if samples.ndim == 1 else samples
+    assert np.array_equal(decoded, want)
+
+
+def test_wav_rejects_non_pcm():
+    data = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    fmt_at = data.index(b"fmt ") + 8
+    struct.pack_into("<H", data, fmt_at, 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(data))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+# ------------------------------------------------ Spark kernels, fake=False
+
+
+def _real_media_df(spark):
+    import pandas as pd
+
+    rows = []
+    for i in range(12):
+        kind = i % 3
+        if kind == 0:
+            arr = _rng(i).integers(0, 256, size=(16 + i, 12, 3), dtype=np.uint8)
+            rows.append((i, "image/png", encode_png(arr), 12, 16 + i))
+        elif kind == 1:
+            s = _rng(i).integers(-1000, 1000, size=200 + i).astype(np.int16)
+            rows.append((i, "audio/wav", encode_wav(s, 8_000), None, None))
+        else:
+            rows.append((i, "video/mp4", b"\x00\x00\x00\x18ftypmp42" + bytes(40), None, None))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "media_type", "payload", "width", "height"])
+    from pyld_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(pdf, MEDIA_SCHEMA)
+
+
+def test_decode_image_real_path(spark):
+    from pyld_spark.operators.multimodal import decode_image_stub
+
+    media = _real_media_df(spark)
+    out = decode_image_stub(media, target_size=(8, 8), fake=False).collect()
+    assert {r["doc_id"] for r in out} == {0, 3, 6, 9}
+    assert all(r["out_width"] == 8 and r["out_height"] == 8 for r in out)
+    # checksum equals a driver-side recompute: real decode, not a stub hash
+    import hashlib
+
+    arr = _rng(0).integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    want = hashlib.md5(resize_nearest(arr, (8, 8)).tobytes()).hexdigest()
+    got = {r["doc_id"]: r["pixels_checksum"] for r in out}[0]
+    assert got == want
+
+
+def test_decode_audio_real_path(spark):
+    from pyld_spark.operators.multimodal import decode_audio_stub
+
+    media = _real_media_df(spark)
+    out = decode_audio_stub(media, fake=False).collect()
+    assert {r["doc_id"] for r in out} == {1, 4, 7, 10}
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_samples"] == 201
+    assert by_id[1]["sample_rate"] == 8_000
+
+
+def test_mp4_real_decode_still_raises(spark):
+    from pyld_spark.operators.multimodal import sample_frames_stub
+
+    media = _real_media_df(spark)
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_frames_stub(media, fake=False).collect()

@@ -74,12 +74,23 @@ from pyld_spark.operators.canonicalize import canonicalize_triples
 base = "/dev/shm/bench-{cores_max}"
 shutil.rmtree(base, ignore_errors=True)
 
-# untimed: production table layout (bucketed by conv key at write time)
-t = write_bucketed_transcripts(
-    synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}),
-    spark, base + "/transcripts",
-)
-n_turns = t.count()
+# untimed: production table layout (bucketed by conv key at write time).
+# The corpus is deterministic in (n_convs, turns), so trials REUSE one
+# shared bucketed table — at the 8M-turn robustness corpus, re-synthesizing
+# per child would dominate wall-clock without informing the timed stages.
+corpus_table = "transcripts_bench_{n_convs}x{turns}"
+try:
+    # table name encodes the synth params; any non-empty instance is THE
+    # deterministic corpus (turns_per_conv is an average — no exact count)
+    t = spark.table(corpus_table)
+    n_turns = t.count()
+    assert n_turns > 0
+except Exception:
+    t = write_bucketed_transcripts(
+        synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}),
+        spark, "/dev/shm/bench-corpus-{n_convs}x{turns}", table=corpus_table,
+    )
+    n_turns = t.count()
 
 # warm-up: executor + python-worker spin-up off the clock
 warm_docs = assemble_documents(t).limit(1000).cache()
@@ -125,7 +136,7 @@ def run_level(cores_max: int, n_convs: int, turns: int, exec_cores: int) -> dict
     code = _CHILD.format(repo=REPO, cores_max=cores_max, n_convs=n_convs,
                          turns=turns, exec_cores=exec_cores)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800,
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -144,38 +155,49 @@ def main() -> None:
     # best-of per METRIC, not per run: the run with the best triples stage is
     # not necessarily the run with the best total wall (box noise is ±10%),
     # and each efficiency ratio should compare each level's least-
-    # contaminated estimate of that metric
-    best_triples: dict[int, dict] = {}
-    best_total: dict[int, dict] = {}
+    # contaminated estimate of that metric. MEDIAN-of-trials is reported
+    # alongside (round-3 verdict item 2): at stage walls ≥60 s the median is
+    # the robustness claim, best-of the noise-floor claim.
+    all_runs: dict[int, list[dict]] = {c: [] for c in levels}
     for i in range(trials):
         for cores in levels:  # alternate levels so drift hits both equally
             r = run_level(cores, n_convs, turns, exec_cores)
             print(json.dumps({"trial": i, **r}), flush=True)
-            if (
-                cores not in best_triples
-                or r["wall_triples"] < best_triples[cores]["wall_triples"]
-            ):
-                best_triples[cores] = r
-            if (
-                cores not in best_total
-                or r["wall_total"] < best_total[cores]["wall_total"]
-            ):
-                best_total[cores] = r
+            all_runs[cores].append(r)
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     lo, hi = levels
+    best_triples = {c: max(r["triples_per_sec"] for r in all_runs[c]) for c in levels}
+    best_total = {c: max(r["pipeline_triples_per_sec"] for r in all_runs[c]) for c in levels}
+    med_triples = {c: med([r["triples_per_sec"] for r in all_runs[c]]) for c in levels}
+    med_total = {c: med([r["pipeline_triples_per_sec"] for r in all_runs[c]]) for c in levels}
     eff = {
-        "triples_stage": round(
-            best_triples[hi]["triples_per_sec"]
-            / best_triples[lo]["triples_per_sec"] / 4.0, 3
-        ),
-        "full_pipeline": round(
-            best_total[hi]["pipeline_triples_per_sec"]
-            / best_total[lo]["pipeline_triples_per_sec"] / 4.0, 3
-        ),
+        "triples_stage": round(best_triples[hi] / best_triples[lo] / 4.0, 3),
+        "full_pipeline": round(best_total[hi] / best_total[lo] / 4.0, 3),
+        "triples_stage_median": round(med_triples[hi] / med_triples[lo] / 4.0, 3),
+        "full_pipeline_median": round(med_total[hi] / med_total[lo] / 4.0, 3),
     }
-    print(json.dumps({"mode": f"standalone 1 vs 4 executors ({exec_cores} cores each)",
-                      "scaling_efficiency": eff,
-                      "levels_best_triples": {str(k): v for k, v in best_triples.items()},
-                      "levels_best_total": {str(k): v for k, v in best_total.items()}}))
+    print(json.dumps({
+        "mode": f"standalone 1 vs 4 executors ({exec_cores} cores each)",
+        "trials": trials,
+        "scaling_efficiency": eff,
+        "throughput": {
+            "best_triples": {str(k): v for k, v in best_triples.items()},
+            "median_triples": {str(k): v for k, v in med_triples.items()},
+            "best_pipeline": {str(k): v for k, v in best_total.items()},
+            "median_pipeline": {str(k): v for k, v in med_total.items()},
+        },
+        "wall_seconds_all": {
+            str(c): [
+                {"triples": r["wall_triples"], "total": r["wall_total"]}
+                for r in all_runs[c]
+            ] for c in levels
+        },
+    }))
 
 
 if __name__ == "__main__":

@@ -592,10 +592,11 @@ def cleanup_preserve(input_, state: FrameState, _memo: dict | None = None):
                 # keep the marker through compaction; api._cleanup_null maps
                 # it to JSON null afterwards (keeping the key)
                 return "@null"
-            result = cleanup_preserve(preserved, state, _memo)
-            if isinstance(result, list) and len(result) == 1:
-                return result[0]
-            return result
+            # reference parity (jsonld.py:5004 `input_['@preserve'][0]`):
+            # only the FIRST preserved element survives cleanup — an
+            # array-valued @default drops its tail
+            first = preserved[0] if isinstance(preserved, list) else preserved
+            return cleanup_preserve(first, state, _memo)
         key = id(input_)
         if key in _memo:
             return _memo[key]

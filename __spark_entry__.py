@@ -94,6 +94,72 @@ def _q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples
 
 
+def _q_streamed_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_triples through Structured Streaming file-source REPLAY:
+    transcripts → applyInPandasWithState assembly → in-stream mapInArrow
+    docs_to_triples → parquet sink, availableNow trigger. Gate-certifies the
+    streaming path (round-3 verdict item 3): same oracle as pipeline_triples.
+
+    The window in transcripts_from_events can't run in-stream (row_number
+    over event order), so transcripts materialize first — the streamed
+    stages are assembly (the custom stateful operator) and triple emission.
+    Watermark 1440h covers the 30-day event span (file replay is unordered);
+    two far-future sentinel files in separate tail microbatches commit the
+    final watermark then fire all timers (a replay ends; a stream doesn't).
+    """
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    ensure_workers_can_import(spark)
+    from pyld_spark.streaming.stream import (
+        assemble_documents_stream_stateful,
+        read_transcript_stream,
+    )
+
+    work = _tempfile.mkdtemp(prefix="gate_stream_")
+    inp, ckpt, out = f"{work}/in", f"{work}/ckpt", f"{work}/out"
+    transcripts_from_events(spark, sf_dir).coalesce(4).write.parquet(inp)
+    sentinel_schema = ("conv_id string, turn_idx int, role string, "
+                       "text string, tool string, ts timestamp")
+    for year in (2030, 2031):
+        spark.createDataFrame(
+            [(f"conv-sentinel-{year}", 0, "user", "late", None,
+              _dt.datetime(year, 1, 1, tzinfo=_dt.timezone.utc))],
+            sentinel_schema,
+        ).coalesce(1).write.mode("append").parquet(inp)
+        # FileStreamSource orders the replay by mtime: sentinels must be the
+        # two NEWEST files (strictly increasing) to land in tail microbatches
+        newest = max(_glob.glob(f"{inp}/*.parquet"), key=_os.path.getmtime)
+        bump = 100 if year == 2030 else 200
+        _os.utime(newest, (_os.path.getmtime(newest) + bump,) * 2)
+
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=1)
+    docs = assemble_documents_stream_stateful(
+        stream, watermark="1440 hours", gap_seconds=1800
+    )
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    q = (
+        triples.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True)
+        .format("parquet").option("path", out).start()
+    )
+    q.awaitTermination(600)
+    result = (
+        spark.read.parquet(out)
+        .filter(~F.col("doc_id").contains("sentinel"))
+        .cache()
+    )
+    result.count()  # materialize before the temp files can be removed
+    _shutil.rmtree(f"{work}/in", ignore_errors=True)
+    return result
+
+
 def _q_canonical_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.expand_stage import canonical_nquads_stats
 
@@ -442,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assembly_stats": _q_assembly_stats,
         "turn_literal_triples": _q_turn_triples,
         "pipeline_triples": _q_pipeline_triples,
+        "streamed_pipeline_triples": _q_streamed_pipeline_triples,
         "canonical_nquads": _q_canonical_nquads,
         "linked_mentions": _q_linked_mentions,
         "mention_triples": _q_mention_triples,
@@ -1035,6 +1102,8 @@ def oracle_sql() -> dict[str, str]:
                    min(mention_kind) AS mention_kind
             FROM linked GROUP BY entity_iri""",
         "pipeline_triples": pipeline_oracle,
+        # streaming replay must emit EXACTLY the batch result — same oracle
+        "streamed_pipeline_triples": pipeline_oracle,
         "transcripts_from_events": (
             f"{_T_CTE} SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
         ),

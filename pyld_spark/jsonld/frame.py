@@ -395,13 +395,17 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
             state.unique_embeds = {state.graph: {}}
         else:
             state.unique_embeds.setdefault(state.graph, {})
-        output = {"@id": id_}
-        if id_.startswith("_:"):
-            state.bnode_map.setdefault(id_, []).append(output)
-
+        # link-cache check BEFORE the bnodeMap registration (reference
+        # jsonld.py:4378-4395): a @link cache hit must NOT bump the bnode
+        # occurrence count, or shared bnodes keep their @id where the
+        # reference clears it (single-occurrence pruning)
         if embed == "@link" and id_ in state.link:
             add_frame_output(parent, property, state.link[id_])
             continue
+
+        output = {"@id": id_}
+        if id_.startswith("_:"):
+            state.bnode_map.setdefault(id_, []).append(output)
 
         state.link[id_] = output
 

@@ -127,6 +127,35 @@ def assemble_documents_stream_stateful(
     )
     out_schema = "conv_id string, doc string"
 
+    def jackson_escape_case(s: str) -> str:
+        """Uppercase the hex of ``\\uXXXX`` escapes so Python json.dumps
+        output is byte-identical to the batch path's Jackson ``to_json``
+        (the ONLY divergence between the two; everything else — short
+        escapes, unescaped DEL, raw UTF-8 — matches, verified in
+        tests/test_streaming_recovery_fuzz.py). Only an odd backslash run
+        before ``u`` is a real escape — a literal ``\\u001f`` in text
+        arrives as ``\\\\u001f`` and must keep its case."""
+        if "\\u" not in s:
+            return s
+        out = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c != "\\":
+                out.append(c)
+                i += 1
+                continue
+            j = i
+            while j < n and s[j] == "\\":
+                j += 1
+            run = j - i
+            out.append("\\" * run)
+            if run % 2 == 1 and j < n and s[j] == "u":
+                out.append("u" + s[j + 1:j + 5].upper())
+                j += 5
+            i = j
+        return "".join(out)
+
     def build_doc(conv_id: str, rows: list) -> str:
         # byte-parity with the batch path: struct-field order, null-field
         # omission (to_json drops nulls), compact separators
@@ -144,9 +173,9 @@ def assemble_documents_stream_stateful(
             }
             if tool is None:
                 del item["tool"]
-            parts.append(
+            parts.append(jackson_escape_case(
                 _json.dumps(item, ensure_ascii=False, separators=(",", ":"))
-            )
+            ))
         return (
             ctx_prefix + CONV_BASE + conv_id
             + '","@type":"Conversation","turns":{"@list":['

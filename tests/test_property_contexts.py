@@ -617,3 +617,56 @@ def test_random_context_normalize_matches_reference(ctx, body, algorithm):
             f"\nalg={algorithm} ctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies)
+def test_random_context_link_matches_reference(ctx, body):
+    """link() (frame with a wildcard @link embed, reference
+    jsonld.py:237-262) over the random-context space — axis 10 of the
+    quirk soak (round-3 verdict item 8). The reference RecursionErrors on
+    cyclic linked data (uncoded crash → skipped, like every crash-class
+    divergence); on acyclic inputs output must match exactly."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    link_ctx = json.loads(json.dumps(ctx))
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.link(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(link_ctx))
+        )
+    except RecursionError:
+        ref_crash = "RecursionError"
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.link(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(link_ctx))
+        )
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        # ref succeeded → linked structure is acyclic; == terminates
+        assert my_out == ref_out, (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

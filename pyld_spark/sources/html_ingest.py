@@ -30,12 +30,16 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from pyld_spark.jsonld.errors import JsonLdError
 
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _SCRIPT_RE = re.compile(
     r"<script\b(?P<attrs>[^>]*)>(?P<body>.*?)</script\s*>",
     re.IGNORECASE | re.DOTALL,
 )
+# starts-with semantics, like the reference's xpath
+# starts-with(@type,"application/ld+json") (jsonld.py:6704): ANY suffix
+# after the prefix matches, including ";profile=..." or junk
 _TYPE_RE = re.compile(
-    r"""\btype\s*=\s*["']application/ld\+json\s*(?:;[^"']*)?["']""",
+    r"""\btype\s*=\s*["']application/ld\+json[^"']*["']""",
     re.IGNORECASE,
 )
 _ID_RE = re.compile(r"""\bid\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
@@ -44,9 +48,23 @@ _BASE_RE = re.compile(
 )
 
 
+def _parse_body(body: str):
+    try:
+        return json.loads(body.strip())
+    except ValueError as e:
+        raise JsonLdError(
+            f"invalid JSON in ld+json script: {e}", "invalid script element"
+        )
+
+
 def extract_scripts(html: str, fragment: str | None = None) -> list:
-    """All JSON-LD script payloads (parsed), in document order; with a
-    ``fragment``, only the script whose id matches."""
+    """Raw bodies of JSON-LD scripts, in document order; with a
+    ``fragment``, only the script whose id matches. Bodies are returned
+    UNPARSED: the reference parses lazily (first script only unless
+    extractAllScripts), so invalid JSON in an unselected script must not
+    raise. Comments are stripped first — lxml sees a commented-out
+    ``<script>`` as a comment node, never an element (jsonld.py:6658)."""
+    html = _COMMENT_RE.sub("", html)
     out = []
     for m in _SCRIPT_RE.finditer(html):
         attrs = m.group("attrs")
@@ -56,13 +74,7 @@ def extract_scripts(html: str, fragment: str | None = None) -> list:
             id_m = _ID_RE.search(attrs)
             if id_m is None or id_m.group(1) != fragment:
                 continue
-        body = m.group("body").strip()
-        try:
-            out.append(json.loads(body))
-        except ValueError as e:
-            raise JsonLdError(
-                f"invalid JSON in ld+json script: {e}", "invalid script element"
-            )
+        out.append(m.group("body"))
     if fragment is not None and not out:
         raise JsonLdError(
             f"no ld+json script with id={fragment}", "loading document failed"
@@ -71,7 +83,7 @@ def extract_scripts(html: str, fragment: str | None = None) -> list:
 
 
 def html_base(html: str, document_url: str | None = None) -> str | None:
-    m = _BASE_RE.search(html)
+    m = _BASE_RE.search(_COMMENT_RE.sub("", html))
     if m:
         from pyld_spark.jsonld.iri import resolve_iri
 
@@ -89,13 +101,16 @@ def load_html(html: str, url: str | None = None,
     if not scripts:
         raise JsonLdError("no ld+json scripts found", "loading document failed")
     if fragment is not None or not extract_all_scripts:
-        return scripts[0]
+        # only the selected script is parsed — invalid JSON in any OTHER
+        # script is invisible (reference parses elements[0] lazily)
+        return _parse_body(scripts[0])
     merged = []
     for s in scripts:
-        if isinstance(s, list):
-            merged.extend(s)
+        parsed = _parse_body(s)
+        if isinstance(parsed, list):
+            merged.extend(parsed)
         else:
-            merged.append(s)
+            merged.append(parsed)
     return merged
 
 

@@ -51,8 +51,10 @@ def test_base_href_resolved():
 
 
 def test_invalid_json_error_code():
+    # extraction itself is lazy (reference parses only the selected script);
+    # the error surfaces when the bad script is actually parsed
     with pytest.raises(JsonLdError) as ei:
-        extract_scripts(BAD_HTML)
+        load_html(BAD_HTML, None, extract_all_scripts=True)
     assert ei.value.code == "invalid script element"
 
 

@@ -132,5 +132,7 @@ def test_multimodal_plumbing(spark):
     assert all(r.out_width <= 224 for r in decoded)
     frames = sample_frames_stub(media, fake=True).collect()
     assert all(r.doc_id == 2 for r in frames) and frames
-    with pytest.raises(Exception, match="NotImplementedError|decode requires"):
+    # fake payloads are text bytes, not RIFF/PNG: the REAL decoder (present
+    # since the codecs module landed) rejects them by signature
+    with pytest.raises(Exception, match="not a PNG"):
         decode_image_stub(media, fake=False).collect()

@@ -1,0 +1,88 @@
+"""Escalated differential-fuzz soak (round-4: verdict items 1 & 8).
+
+Runs chosen hypothesis axes at much higher example counts than the per-test
+defaults by overriding each test's stored settings (the pytest-side settings
+stay small so CI stays fast). Usage::
+
+    python tools/soak_fuzz.py                 # default plan (~200k examples)
+    python tools/soak_fuzz.py framing=50000   # override one axis
+
+Never run concurrently with a benchmark.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from hypothesis import HealthCheck, settings
+
+# axis name -> (module, test function name, default soak examples).
+# Framing and compaction round-trips are the weakest axes per the round-3
+# verdict — they get the bulk of the budget.
+PLAN = {
+    "framing": ("tests.test_property_contexts",
+                "test_random_context_framing_matches_reference", 60000),
+    "compaction": ("tests.test_property_contexts",
+                   "test_random_context_compaction_matches_reference", 60000),
+    "link": ("tests.test_property_contexts",
+             "test_random_context_link_matches_reference", 20000),
+    "expansion": ("tests.test_property_contexts",
+                  "test_random_context_expansion_matches_reference", 20000),
+    "expansion10": ("tests.test_property_contexts",
+                    "test_random_context_expansion_matches_reference_mode_10", 10000),
+    "tordf": ("tests.test_property_contexts",
+              "test_random_context_tordf_matches_reference", 15000),
+    "flatten": ("tests.test_property_contexts",
+                "test_random_context_flatten_matches_reference", 10000),
+    "normalize": ("tests.test_property_contexts",
+                  "test_random_context_normalize_matches_reference", 10000),
+    "remote": ("tests.test_property_contexts",
+               "test_remote_context_loader_matches_reference", 10000),
+    "expandctx": ("tests.test_property_contexts",
+                  "test_random_expand_context_option_matches_reference", 10000),
+    "html": ("tests.test_property_html_ingest",
+             "test_extraction_recovers_planted_scripts", 5000),
+}
+
+
+def run_axis(name: str, module: str, fn_name: str, n: int) -> float:
+    import importlib
+
+    mod = importlib.import_module(module)
+    fn = getattr(mod, fn_name)
+    fn._hypothesis_internal_use_settings = settings(
+        max_examples=n, deadline=None, database=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    t0 = time.time()
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — print sub-notes for shrunk examples
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        for note in getattr(e, "__notes__", []) or []:
+            print("  note:", note)
+        for sub in getattr(e, "exceptions", []) or []:
+            print("  sub:", sub)
+            for note in getattr(sub, "__notes__", []) or []:
+                print("    note:", note)
+        raise
+    return time.time() - t0
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo")
+    overrides = dict(a.split("=") for a in sys.argv[1:])
+    total = 0
+    for name, (module, fn_name, default_n) in PLAN.items():
+        n = int(overrides.get(name, default_n))
+        if n <= 0:
+            continue
+        wall = run_axis(name, module, fn_name, n)
+        total += n
+        print(f"OK {name}: {n} examples in {wall:.0f}s", flush=True)
+    print(f"SOAK CLEAN: {total} examples")
+
+
+if __name__ == "__main__":
+    main()

@@ -187,7 +187,32 @@ def _wl_refined_labels(triples: DataFrame, fd: DataFrame, n_iters: int = 6) -> D
     ).select("doc_id", "bnode", "label")
 
 
-def canonical_labels(triples: DataFrame, max_exact_quads: int = 100_000) -> DataFrame:
+def _doc_partitioned(triples: DataFrame) -> DataFrame:
+    """Hash-partition the quad table by ``doc_id`` — the ONE exchange the
+    whole canonicalization shares.
+
+    Every downstream distribution requirement is a superset of
+    ``doc_id`` — ``groupBy(doc_id, bnode)``, the ``(doc_id, fd_hash)``
+    and ``(doc_id)`` windows, ``groupBy(doc_id)`` label maps, and the
+    final relabel equi-join — and ``HashPartitioning(doc_id)`` satisfies
+    a ``ClusteredDistribution`` over any key list containing ``doc_id``,
+    so none of them re-shuffle. Before this, the plan exchanged the
+    exploded masked-quad rows (the fattest intermediate, ~1.5× the quad
+    table with ~300-byte strings) AND the quad table itself for the
+    relabel join; now only the quad table moves, once. Partition count is
+    pinned to ``spark.sql.shuffle.partitions`` so the label-map side of
+    the relabel join (which re-shuffles after the three-way label union —
+    cheap: one row per bnode, not per quad) lands co-partitioned.
+    """
+    n = int(triples.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return triples.repartition(n, "doc_id")
+
+
+def canonical_labels(
+    triples: DataFrame,
+    max_exact_quads: int = 100_000,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """(doc_id, bnode) → canonical label ``_:c14nN`` (doc-local numbering).
 
     Fast path: unique first-degree hashes → row_number over sorted hashes.
@@ -197,8 +222,25 @@ def canonical_labels(triples: DataFrame, max_exact_quads: int = 100_000) -> Data
     never enter the single-group UDF (executor-memory / permutation-blowup
     hazard) and take the distributed WL-refinement path instead
     (:func:`_wl_refined_labels`).
+
+    ``pre_partitioned=True`` promises the caller already ran
+    :func:`_doc_partitioned` (avoids a second exchange of the quad table).
     """
+    if not pre_partitioned:
+        triples = _doc_partitioned(triples)
     fd = first_degree_hashes(triples)
+    # materialize the per-bnode hash table once (one small row per bnode):
+    # with the shared doc_id partitioning there is no aggregate exchange
+    # left for ReuseExchange to dedup on, so without this checkpoint every
+    # consumer branch (easy labels, ambiguity probe, doc sizes, fallback
+    # routing) would re-run the masked-quad explode+hash — the most
+    # CPU-expensive part of the stage. The explicit repartition AFTER the
+    # checkpoint is partitioning-metadata repair, not data movement for its
+    # own sake: under AQE the checkpointed plan reports UnknownPartitioning
+    # until executed, so without it every downstream window/groupBy would
+    # re-shuffle fd anyway — this way it happens once, on the small table.
+    n = int(triples.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    fd = fd.localCheckpoint(eager=False).repartition(n, "doc_id")
     w_doc = Window.partitionBy("doc_id", "fd_hash")
     fd = fd.withColumn("n_same", F.count("*").over(w_doc))
     ambiguous_docs = fd.filter(F.col("n_same") > 1).select("doc_id").distinct()
@@ -267,9 +309,14 @@ def canonicalize_triples(triples: DataFrame, max_exact_quads: int = 100_000) -> 
 
     Single shuffle join: the per-document label mappings are collected into
     one small map per doc_id and joined once on doc_id (all three bnode
-    positions relabel via ``element_at`` on that map) — 1 exchange of the
-    fat triples table instead of 3."""
-    labels = canonical_labels(triples, max_exact_quads=max_exact_quads).withColumn(
+    positions relabel via ``element_at`` on that map). The quad table is
+    exchanged exactly once (:func:`_doc_partitioned`) and that partitioning
+    feeds BOTH the label computation and the left side of the relabel
+    join."""
+    triples = _doc_partitioned(triples)
+    labels = canonical_labels(
+        triples, max_exact_quads=max_exact_quads, pre_partitioned=True
+    ).withColumn(
         "global_label",
         F.concat(F.lit("_:d"), F.substring(F.sha2(F.col("doc_id"), 256), 1, 16),
                  F.lit("_"), F.substring(F.col("label"), 3, 1000)),

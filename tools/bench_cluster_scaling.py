@@ -79,6 +79,7 @@ shutil.rmtree(base, ignore_errors=True)
 # shared bucketed table — at the 8M-turn robustness corpus, re-synthesizing
 # per child would dominate wall-clock without informing the timed stages.
 corpus_table = "transcripts_bench_{n_convs}x{turns}"
+corpus_path = "/dev/shm/bench-corpus-{n_convs}x{turns}"
 try:
     # table name encodes the synth params; any non-empty instance is THE
     # deterministic corpus (turns_per_conv is an average — no exact count)
@@ -86,11 +87,28 @@ try:
     n_turns = t.count()
     assert n_turns > 0
 except Exception:
-    t = write_bucketed_transcripts(
-        synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}),
-        spark, "/dev/shm/bench-corpus-{n_convs}x{turns}", table=corpus_table,
-    )
-    n_turns = t.count()
+    import os
+    if os.path.exists(corpus_path + "/_SUCCESS"):
+        # a previous child already wrote the corpus; the in-memory catalog
+        # forgot it, so re-register the existing bucketed files via DDL
+        # (generator is deterministic -> any complete instance is THE corpus)
+        spark.sql(f'''
+            CREATE TABLE {{corpus_table}} (
+                conv_id STRING, turn_idx INT, role STRING,
+                text STRING, tool STRING, ts TIMESTAMP)
+            USING parquet
+            CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)
+            INTO 64 BUCKETS
+            LOCATION "{{corpus_path}}"
+        ''')
+        t = spark.table(corpus_table)
+        n_turns = t.count()
+    else:
+        t = write_bucketed_transcripts(
+            synthesize_transcripts(spark, n_convs={n_convs}, turns_per_conv={turns}),
+            spark, corpus_path, table=corpus_table,
+        )
+        n_turns = t.count()
 
 # warm-up: executor + python-worker spin-up off the clock
 warm_docs = assemble_documents(t).limit(1000).cache()

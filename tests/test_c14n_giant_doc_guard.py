@@ -87,13 +87,37 @@ def test_small_ambiguous_docs_still_exact(spark):
     assert labels == expected
 
 
+def _path_triples(spark, n, doc_id="easy"):
+    """n-quad bnode PATH _:b0 → … → _:bn (asymmetric: every fd hash is
+    unique, so the doc rides the relational fast path)."""
+    return (
+        spark.range(n)
+        .select(
+            F.lit(doc_id).alias("doc_id"),
+            F.concat(F.lit("_:b"), F.col("id").cast("string")).alias("subj"),
+            F.lit(PRED).alias("pred"),
+            F.lit("blank node").alias("obj_kind"),
+            F.concat(F.lit("_:b"), (F.col("id") + 1).cast("string")).alias("obj_value"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_language"),
+            F.lit("@default").alias("graph"),
+        )
+    )
+
+
 def test_guard_split_keeps_all_docs(spark):
-    """One small + one big ambiguous doc in the same table: both labeled."""
-    t = _cycle_triples(spark, 4, doc_id="small").unionByName(
-        _cycle_triples(spark, 2_000, doc_id="big")
+    """Easy + small-ambiguous + big-ambiguous docs in ONE table: all three
+    routing branches (row_number fast path, exact applyInPandas fallback,
+    WL refinement) are simultaneously non-empty in a single
+    canonicalize_triples plan, and every doc comes out fully labeled."""
+    t = (
+        _cycle_triples(spark, 4, doc_id="small")
+        .unionByName(_cycle_triples(spark, 2_000, doc_id="big"))
+        .unionByName(_path_triples(spark, 5, doc_id="easy"))
     )
     out = canonicalize_triples_counts(t)
-    assert out == {"small": 4, "big": 2_000}
+    # path doc: 5 quads → subjects _:b0.._:b4 (b5 is object-only)
+    assert out == {"small": 4, "big": 2_000, "easy": 5}
 
 
 def canonicalize_triples_counts(t):

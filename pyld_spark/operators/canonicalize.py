@@ -64,11 +64,21 @@ def _masked_quad_expr(self_col):
     escaped = F.col("obj_value")
     for raw, esc in (("\\", "\\\\"), ("\t", "\\t"), ("\n", "\\n"), ("\r", "\\r"), ('"', '\\"')):
         escaped = F.replace(escaped, F.lit(raw), F.lit(esc))
+    # suffix parity with nquads.serialize_term: langString with a null/empty
+    # language gets NO @tag (not a bare "@"), and a null datatype means
+    # xsd:string (no ^^ suffix) — a NULL here would null the whole concat
+    # and silently DROP the quad from the hash input
     lit_form = F.concat(
         F.lit('"'), escaped, F.lit('"'),
-        F.when(F.col("obj_datatype") == langstring,
-               F.concat(F.lit("@"), F.coalesce(F.col("obj_language"), F.lit(""))))
-        .when(F.col("obj_datatype") == xsd_string, F.lit(""))
+        F.when(
+            F.col("obj_datatype") == langstring,
+            F.when(
+                F.col("obj_language").isNotNull() & (F.col("obj_language") != ""),
+                F.concat(F.lit("@"), F.col("obj_language")),
+            ).otherwise(F.lit("")),
+        )
+        .when(F.col("obj_datatype").isNull() | (F.col("obj_datatype") == xsd_string),
+              F.lit(""))
         .otherwise(F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">"))),
     )
     obj = F.when(F.col("obj_kind") == "literal", lit_form).otherwise(obj)
@@ -83,7 +93,17 @@ def _masked_quad_expr(self_col):
 
 
 def _bnode_quad_index(triples: DataFrame) -> DataFrame:
-    """Explode each quad to one row per blank-node position it mentions."""
+    """Explode each quad to one row per blank-node POSITION it mentions.
+
+    Deliberately NOT ``array_distinct``: URDNA2015 appends the quad to a
+    bnode's quad list once per position it occupies (reference canon.py —
+    per-attribute append over subject/object/name), so a self-loop
+    ``_:b <p> _:b`` or a subject that is also the graph name contributes
+    its masked line TWICE to that bnode's first-degree hash input. A
+    dedup here changes those bnodes' fd hashes and therefore the
+    sorted-hash label order (caught by the random-graph differential
+    fuzz, tests/test_canonicalize_random_graphs.py — transcript and
+    gadget corpora never exercise multi-position bnodes)."""
     bnodes = F.array_compact(
         F.array(
             F.when(F.col("subj").startswith("_:"), F.col("subj")),
@@ -91,9 +111,7 @@ def _bnode_quad_index(triples: DataFrame) -> DataFrame:
             F.when(F.col("graph").startswith("_:"), F.col("graph")),
         )
     )
-    return (
-        triples.withColumn("bnode", F.explode(F.array_distinct(bnodes)))
-    )
+    return triples.withColumn("bnode", F.explode(bnodes))
 
 
 def first_degree_hashes(triples: DataFrame) -> DataFrame:

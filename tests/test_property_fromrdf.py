@@ -1,0 +1,173 @@
+"""Property-based differential fuzz over RANDOM RDF DATASETS → fromRdf.
+
+The other fuzz axes start from JSON-LD documents; this one starts from the
+quad side: random N-Quads (list-vocabulary chains and tangles, compound
+direction literals, i18n datatypes, JSON literals, native-type edge
+lexical forms, bnode graph names) through the full fromRdf option grid
+(useNativeTypes × useRdfType × rdfDirection), checked against the
+reference processor (reference jsonld.py `from_rdf`/`_from_rdf`). This is
+the decode direction the 230k-example round-4 soak did not cover.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.ref_oracle import get_reference_jsonld
+from tests.test_expand_vs_reference import equal_unordered
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+I18N = "https://www.w3.org/ns/i18n#"
+
+subjects = st.sampled_from(["<http://e/s1>", "<http://e/s2>", "_:b0", "_:b1"])
+
+predicates = st.sampled_from([
+    "<http://e/p>",
+    "<http://e/q>",
+    f"<{RDF}type>",
+    # list vocabulary — random tangles exercise the usages/list-conversion
+    # walk (reference jsonld.py _from_rdf list reconstruction)
+    f"<{RDF}first>",
+    f"<{RDF}rest>",
+    # compound-literal vocabulary (rdfDirection='compound-literal' decode)
+    f"<{RDF}value>",
+    f"<{RDF}language>",
+    f"<{RDF}direction>",
+])
+
+# literal pool: canonical + non-canonical + invalid lexical forms for the
+# native-type guards, language tags with case, i18n datatypes (well-formed,
+# underscore-only, bare), JSON literals (valid and broken), custom datatype
+literals = st.sampled_from([
+    '"abc"',
+    '""',
+    f'"1"^^<{XSD}integer>',
+    f'"01"^^<{XSD}integer>',
+    f'"abc"^^<{XSD}integer>',
+    f'"1.5E0"^^<{XSD}double>',
+    f'"1.5"^^<{XSD}double>',
+    f'"NaN"^^<{XSD}double>',
+    f'"true"^^<{XSD}boolean>',
+    f'"True"^^<{XSD}boolean>',
+    '"x"@en',
+    '"x"@en-US',
+    f'"x"^^<{I18N}en_ltr>',
+    f'"x"^^<{I18N}_ltr>',
+    f'"x"^^<{I18N}>',
+    f'"x"^^<{I18N}en>',
+    '"{\\"a\\": 1}"^^<' + RDF + 'JSON>',
+    '"not json"^^<' + RDF + 'JSON>',
+    '"v"^^<http://e/custom>',
+    '"ltr"',  # plain-literal rdf:direction value (must NOT decode compound)
+    '"en"',
+])
+
+objects = st.one_of(
+    st.sampled_from([
+        "<http://e/o>", "<http://e/s1>", f"<{RDF}nil>", f"<{RDF}List>",
+        "_:b0", "_:b1", "_:b2",
+    ]),
+    literals,
+)
+
+graphs = st.sampled_from([None, "<http://e/g>", "_:b0", "_:b2"])
+
+quads = st.tuples(subjects, predicates, objects, graphs)
+
+datasets = st.lists(quads, min_size=0, max_size=8)
+
+rdf_directions = st.sampled_from([None, "i18n-datatype", "compound-literal"])
+
+
+def _nquads(ds) -> str:
+    lines = []
+    for s, p, o, g in ds:
+        lines.append(f"{s} {p} {o} .\n" if g is None else f"{s} {p} {o} {g} .\n")
+    return "".join(lines)
+
+
+def _code_of(e):
+    return getattr(e, "code", None) or (
+        getattr(getattr(e, "cause", None), "code", None)
+    )
+
+
+@settings(
+    max_examples=400, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(ds=datasets, native=st.booleans(), rdf_type=st.booleans(),
+       direction=rdf_directions)
+def test_random_quads_fromrdf_matches_reference(ds, native, rdf_type, direction):
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    nq = _nquads(ds)
+    opts = {
+        "format": "application/n-quads",
+        "useNativeTypes": native,
+        "useRdfType": rdf_type,
+        "rdfDirection": direction,
+    }
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.from_rdf(nq, dict(opts))
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.from_rdf(nq, dict(opts))
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return  # reference raised a non-spec crash; nothing to mirror
+    assert my_code == ref_code, (
+        f"\nnq={nq!r}\nopts={opts}\nref_code={ref_code} my_code={my_code}"
+    )
+    if ref_code is None:
+        assert equal_unordered(my_out, ref_out), (
+            f"\nnq={nq!r}\nopts={opts}"
+            f"\nmine={json.dumps(my_out, sort_keys=True)}"
+            f"\nref ={json.dumps(ref_out, sort_keys=True)}"
+        )
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(ds=datasets, direction=rdf_directions)
+def test_random_quads_roundtrip_through_tordf(ds, direction):
+    """from_rdf → to_rdf must reproduce the reference's round-trip exactly
+    (quad recall can legitimately be lossy — e.g. malformed list chains
+    decode to nodes that re-serialize differently — but OUR loss must be
+    the REFERENCE's loss, byte for byte)."""
+    from pyld_spark.jsonld import api
+
+    ref = get_reference_jsonld()
+    nq = _nquads(ds)
+    opts = {"format": "application/n-quads", "rdfDirection": direction}
+    try:
+        ref_doc = ref.from_rdf(nq, dict(opts))
+        ref_rt = ref.to_rdf(
+            ref_doc, {"format": "application/n-quads", "rdfDirection": direction}
+        )
+    except Exception:  # noqa: BLE001 — crash/code paths covered above
+        return
+    my_doc = api.from_rdf(nq, dict(opts))
+    my_rt = api.to_rdf(
+        my_doc, {"format": "application/n-quads", "rdfDirection": direction}
+    )
+    assert sorted(my_rt.splitlines()) == sorted(ref_rt.splitlines()), (
+        f"\nnq={nq!r}\ndirection={direction}\nmine={my_rt!r}\nref ={ref_rt!r}"
+    )

@@ -43,6 +43,10 @@ PLAN = {
                   "test_random_expand_context_option_matches_reference", 10000),
     "html": ("tests.test_property_html_ingest",
              "test_extraction_recovers_planted_scripts", 5000),
+    "fromrdf": ("tests.test_property_fromrdf",
+                "test_random_quads_fromrdf_matches_reference", 20000),
+    "fromrdf_rt": ("tests.test_property_fromrdf",
+                   "test_random_quads_roundtrip_through_tordf", 10000),
 }
 
 

@@ -147,7 +147,27 @@ def _compile_fast_key(active_ctx: Context, key: str):
         or tdef.index
     ):
         return ("bail",)
-    return ("p", ep)
+    # resolve the whole _expand_value ladder once per (context, key): the
+    # type mapping and effective language/direction are key-level constants,
+    # so scalar values can be wrapped inline without re-walking the ladder
+    t = tdef.type if tdef is not None else None
+    if t == "@id" or t == "@vocab":
+        mode = "iri"  # string values become {"@id": ...}; keep general call
+    elif t not in (None, "@none"):
+        mode = "typed"
+    else:
+        mode = "plain"
+    lang = (
+        tdef.language
+        if tdef is not None and tdef.language is not UNSET
+        else active_ctx.default_language
+    )
+    direc = (
+        tdef.direction
+        if tdef is not None and tdef.direction is not UNSET
+        else active_ctx.default_direction
+    )
+    return ("p", ep, mode, t, lang, direc)
 
 
 _SCALARS = (str, int, float, bool)
@@ -183,21 +203,53 @@ def _fast_expand_node(st: _State, active_ctx: Context, element: dict):
             if value is None:
                 continue
             if isinstance(value, _SCALARS):
-                result.setdefault(disp[1], []).append(
-                    _expand_value(active_ctx, key, value)
-                )
+                vals = (value,)
             elif isinstance(value, list):
-                if not all(
-                    v is None or isinstance(v, _SCALARS) for v in value
-                ):
+                ok = True
+                for v in value:
+                    if v is not None and not isinstance(v, _SCALARS):
+                        ok = False
+                        break
+                if not ok:
                     return _FAST_BAIL
-                result.setdefault(disp[1], []).extend(
-                    _expand_value(active_ctx, key, v)
-                    for v in value
-                    if v is not None
-                )
+                vals = value
             else:
                 return _FAST_BAIL
+            # inline the compiled _expand_value ladder (see
+            # _compile_fast_key): "plain"/"typed" wrap the scalar directly —
+            # identical key order (@value, @type / @language, @direction) to
+            # the general path; "iri" (type @id/@vocab) keeps the exact
+            # general-path call since it IRI-expands string values
+            out = result.setdefault(disp[1], [])
+            mode = disp[2]
+            if mode == "plain":
+                lang, direc = disp[4], disp[5]
+                if lang is None and direc is None:
+                    for v in vals:
+                        if v is not None:
+                            out.append({"@value": v})
+                else:
+                    for v in vals:
+                        if v is None:
+                            continue
+                        if isinstance(v, str):
+                            ev = {"@value": v}
+                            if lang is not None:
+                                ev["@language"] = lang
+                            if direc is not None:
+                                ev["@direction"] = direc
+                            out.append(ev)
+                        else:
+                            out.append({"@value": v})
+            elif mode == "typed":
+                t = disp[3]
+                for v in vals:
+                    if v is not None:
+                        out.append({"@value": v, "@type": t})
+            else:
+                for v in vals:
+                    if v is not None:
+                        out.append(_expand_value(active_ctx, key, v))
         elif kind == "id":
             if not isinstance(value, str):
                 return _FAST_BAIL

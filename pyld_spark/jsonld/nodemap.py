@@ -88,8 +88,14 @@ def compare_values(v1, v2) -> bool:
 
 def add_value(subject: dict, prop: str, value, allow_duplicate: bool = True) -> None:
     existing = subject.setdefault(prop, [])
-    if allow_duplicate or not any(compare_values(v, value) for v in existing):
-        existing.append(value)
+    if not allow_duplicate:
+        # explicit loop, not any(genexpr): this is the hottest helper in the
+        # node-map walk and the generator frame per call dominates for the
+        # common 0/1-element lists
+        for v in existing:
+            if compare_values(v, value):
+                return
+    existing.append(value)
 
 
 def has_property(subject: dict, prop: str) -> bool:
@@ -136,6 +142,9 @@ def remove_value(subject: dict, prop: str, value,
         subject[prop] = remaining[0]
     else:
         subject[prop] = remaining
+
+
+_FAST_NO_TYPE = object()  # distinguishes absent @type from @type: None
 
 
 def create_node_map(
@@ -255,7 +264,9 @@ def create_node_map(
             element=inner, node_map=node_map, issuer=issuer, active_graph=active_graph
         )
 
-    for prop in sorted(k for k in element if k != "@id"):
+    # "@id" was unconditionally popped above, so element's remaining keys
+    # can be sorted directly (no filtering genexpr on the hot path)
+    for prop in sorted(element):
         values = element[prop]
         if prop == "@index":
             continue
@@ -269,22 +280,31 @@ def create_node_map(
         # pure-literal fast path: a list of value objects needs none of the
         # recursion machinery — each lands via the same add_value call the
         # @value branch would make (subject_node there IS this node)
-        if isinstance(values, list) and all(
-            isinstance(v, dict)
-            and "@value" in v
-            and "@list" not in v
-            and not (
-                "@type" in v
-                and (
-                    not isinstance(v["@type"], str)
-                    or v["@type"].startswith("_:")
-                )
-            )
-            for v in values
-        ):
+        if isinstance(values, list):
+            # explicit loop, not all(genexpr) — per-property genexpr frames
+            # were a measurable share of the node-map walk
+            fast = True
             for v in values:
-                add_value(node, prop, v, allow_duplicate=False)
-            continue
+                if not (isinstance(v, dict) and "@value" in v and "@list" not in v):
+                    fast = False
+                    break
+                t = v.get("@type", _FAST_NO_TYPE)
+                if t is not _FAST_NO_TYPE and (
+                    not isinstance(t, str) or t.startswith("_:")
+                ):
+                    fast = False
+                    break
+            if fast:
+                # inlined add_value(allow_duplicate=False): one call frame
+                # per VALUE is a measurable share of the walk
+                existing = node[prop]
+                for v in values:
+                    for e in existing:
+                        if compare_values(e, v):
+                            break
+                    else:
+                        existing.append(v)
+                continue
         create_node_map(
             values, node_map, issuer, active_graph, id_, prop,
         )

@@ -52,8 +52,15 @@ def _is_double_valued(v) -> bool:
 
 def object_to_rdf(item: dict, issuer: IdentifierIssuer, triples: list, graph_name: str,
                   rdf_direction: str | None = None):
-    """Expanded value/node/list object → RDF term (or None to drop)."""
-    if isinstance(item, dict) and "@value" not in item and "@list" not in item:
+    """Expanded value/node/list object → RDF term (or None to drop).
+
+    ``item`` is always a dict here (node-map values and expanded list
+    entries are value objects, node references, or list objects), so the
+    hot path branches on key membership directly."""
+    if "@value" not in item:
+        if "@list" in item:
+            return list_to_rdf(item["@list"], issuer, triples, graph_name,
+                               rdf_direction)
         # node object / reference
         id_ = item.get("@id")
         if not isinstance(id_, str):
@@ -63,9 +70,6 @@ def object_to_rdf(item: dict, issuer: IdentifierIssuer, triples: list, graph_nam
         if not is_absolute_iri(id_):
             return None
         return {"type": "IRI", "value": id_}
-
-    if isinstance(item, dict) and "@list" in item:
-        return list_to_rdf(item["@list"], issuer, triples, graph_name, rdf_direction)
 
     value = item["@value"]
     datatype = item.get("@type")

@@ -299,6 +299,50 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir), k=8)
 
 
+def _pii_injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus is PII-free word soup, so the gate query
+    deterministically appends PII-shaped spans derived from ``doc_id``
+    (email + phone + SSN + IPv4 always; a card number on even ids) before
+    scrubbing — the oracle replays the identical injection, so the
+    scrubber is exercised on text that actually contains matches."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 10).cast("string"), F.lit(".com"),
+            F.lit(" tel 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" card 4111-1111-1111-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.textprep import pii_scrub
+
+    return pii_scrub(_pii_injected_docs(spark, sf_dir))
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.textprep import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=64, stride=48)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -524,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "doc_fingerprint": _q_fingerprint,
+        "pii_scrub": _q_pii_scrub,
+        "doc_chunks": _q_doc_chunks,
         "ann_topk_quantized": _q_ann_topk,
         "ann_topk_cosine": _q_ann_brute_cosine,
         "ann_topk_lsh": _q_ann_lsh,
@@ -738,6 +784,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort({shingles8}), chr(0))) AS fingerprint
             FROM documents""",
+        # sequential scrub: each count is measured on the text as already
+        # scrubbed by the earlier (more specific) patterns — mirrors the
+        # PII_PATTERNS order contract in operators/textprep.py
+        "pii_scrub": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                text || ' contact u' || CAST(doc_id AS VARCHAR)
+                     || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                     || ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ' card 4111-1111-1111-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_card,
+                     regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '[CARD]', 'g') AS t
+                   FROM inj),
+            s2 AS (SELECT doc_id, n_card,
+                     CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+                     regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_card, n_ssn,
+                     CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+                     regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t
+                   FROM s2),
+            s4 AS (SELECT doc_id, n_card, n_ssn, n_phone,
+                     CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                     regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t
+                   FROM s3),
+            s5 AS (SELECT doc_id, n_card, n_ssn, n_phone, n_ip,
+                     CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+                   FROM s4)
+            SELECT doc_id, n_card, n_ssn, n_phone, n_ip, n_email,
+                   n_card + n_ssn + n_phone + n_ip + n_email AS n_pii,
+                   t AS scrubbed_text
+            FROM s5""",
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS tk
+              FROM documents),
+            nz AS (SELECT * FROM toks WHERE len(tk) > 0),
+            ch AS (SELECT doc_id, tk,
+                          unnest(range(0, CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) + 1 AS BIGINT))) AS chunk_idx
+                   FROM nz)
+            SELECT doc_id, chunk_idx,
+                   CAST(len(tk[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(tk[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text
+            FROM ch""",
         "minhash_dedup_pairs": f"""
             WITH sigs AS (SELECT doc_id, {minhash_sig} AS sig FROM documents),
             banded AS (

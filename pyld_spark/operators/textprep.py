@@ -1,0 +1,101 @@
+"""Training-data text preparation over ``documents``: PII scrubbing and
+sliding-window chunking. Both are pure column expressions — narrow
+transformations with zero shuffles, so they scale linearly with input
+splits (filter/column pruning pushes down to the parquet scan untouched).
+
+No reference analogue (digitalbazaar/pyld has no corpus-prep surface);
+these are the builder's-brief training-pipeline extras, designed like
+textstats.py: every regex is RE2-compatible (no lookarounds, no
+backrefs) so the DuckDB gate oracle replays the exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: (name, pattern, replacement) applied IN ORDER, each on the output of the
+#: previous scrub — counts are per-step, so an SSN consumed by the card
+#: pass is never double-counted. Patterns use only syntax shared by Java
+#: regex (Spark) and RE2 (DuckDB): \b, \d, char classes, bounded repeats.
+PII_PATTERNS = [
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CARD]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+]
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Replace PII-shaped spans (credit-card / SSN / phone / IPv4 / email)
+    with typed placeholders; emit per-type match counts and the scrubbed
+    text. Sequential scrub order is part of the contract (see
+    PII_PATTERNS): each count is measured on the text as already scrubbed
+    by the earlier, more specific patterns.
+    """
+    df = documents.select(F.col(id_col), F.col(text_col).alias("_t"))
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        cnt = f"n_{name}"
+        df = df.withColumn(
+            cnt,
+            F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), F.lit(0)))
+            .cast("bigint"),
+        ).withColumn("_t", F.regexp_replace(F.col("_t"), pat, repl))
+        count_cols.append(cnt)
+    total = None
+    for cnt in count_cols:
+        total = F.col(cnt) if total is None else total + F.col(cnt)
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in count_cols],
+        total.cast("bigint").alias("n_pii"),
+        F.col("_t").alias("scrubbed_text"),
+    )
+
+
+def chunk_documents(documents: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_size: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Fan each document out into sliding token windows of ``chunk_size``
+    whitespace tokens advancing by ``stride`` (overlap = chunk_size -
+    stride). Every token is covered; the final window may be short. Empty
+    documents produce no chunks.
+
+    Scale design: tokenize → per-row window-start array → posexplode —
+    a pure narrow fan-out (no shuffle, no Python), so a 100 TB corpus
+    chunks at scan speed and the output stays co-partitioned with its
+    input split for any downstream per-doc work.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.expr(
+        f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    )
+    base = documents.select(F.col(id_col), toks.alias("_toks"))
+    base = base.filter(F.size("_toks") > 0)
+    n_windows = (
+        F.greatest(
+            F.ceil((F.size("_toks") - F.lit(chunk_size)) / F.lit(float(stride))),
+            F.lit(0),
+        )
+        + 1
+    ).cast("int")
+    base = base.withColumn(
+        "_starts",
+        F.transform(F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride),
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode("_starts").alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

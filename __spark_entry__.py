@@ -187,6 +187,41 @@ def _q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_mention_counts(link_entities(extract_mentions(t)))
 
 
+def _mention_triple_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return mention_triples(link_entities(extract_mentions(t)))
+
+
+def _q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP over the constructed mention graph: pairs of distinct entities
+    mentioned by the same turn, with the first entity's label joined in."""
+    from pyld_spark.operators.kg_query import bgp_match
+
+    return bgp_match(
+        _mention_triple_table(spark, sf_dir),
+        [
+            ("?turn", _VOCAB + "mentions", "?e1"),
+            ("?turn", _VOCAB + "mentions", "?e2"),
+            ("?e1", _VOCAB + "label", "?label1"),
+        ],
+        filters=("e1 < e2",),
+    )
+
+
+def _q_kg_entity_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop undirected neighborhood of the 'checkout' entity over the
+    turn→entity mention edges: the turns that mention it (hop 1) and every
+    entity co-mentioned by those turns (hop 2)."""
+    from pyld_spark.operators.kg_query import bgp_match, khop_neighborhood
+
+    triples = _mention_triple_table(spark, sf_dir)
+    seeds = bgp_match(
+        triples, [("?node", _VOCAB + "label", "checkout")]
+    ).distinct()
+    return khop_neighborhood(triples, seeds, k=2)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -211,6 +246,15 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.dedup import minhash_dedup_pairs_md5
 
     return minhash_dedup_pairs_md5(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.components import dedup_clusters
+    from pyld_spark.operators.dedup import minhash_dedup_pairs_md5
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs_md5(docs, threshold=0.2)
+    return dedup_clusters(docs, pairs)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,9 +601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_mentions": _q_linked_mentions,
         "mention_triples": _q_mention_triples,
         "entity_mention_counts": _q_entity_counts,
+        "kg_comention_pairs": _q_kg_comention,
+        "kg_entity_khop": _q_kg_entity_khop,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
         "html_page_triples": _q_html_triples,
@@ -857,6 +904,55 @@ def oracle_sql() -> dict[str, str]:
               FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_a
                         JOIN sigs sb ON sb.doc_id = cand.doc_b)
             SELECT doc_a, doc_b, n_agree FROM verified WHERE n_agree >= 0.2 * 32""",
+        # Transitive closure (WITH RECURSIVE) over the same MinHash pair
+        # table; cluster_id = min doc_id reachable — identical semantics to
+        # the large-star/small-star fixpoint in operators/components.py.
+        # MATERIALIZED is load-bearing: without it DuckDB inlines the whole
+        # MinHash pipeline into `edges` and re-evaluates it on EVERY
+        # recursion step (minutes instead of seconds).
+        "dedup_clusters": f"""
+            WITH RECURSIVE sigs AS MATERIALIZED (SELECT doc_id, {minhash_sig} AS sig FROM documents),
+            banded AS MATERIALIZED (
+              SELECT s.doc_id AS doc, t.b AS band,
+                     md5(concat_ws('|', s.sig[4*t.b+1], s.sig[4*t.b+2],
+                                        s.sig[4*t.b+3], s.sig[4*t.b+4])) AS bucket
+              FROM sigs s, range(0, 8) t(b)),
+            cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+            verified AS MATERIALIZED (
+              SELECT doc_a, doc_b,
+                     CAST(list_sum(list_transform(range(1, 33),
+                          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                       AS BIGINT) AS n_agree
+              FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_a
+                        JOIN sigs sb ON sb.doc_id = cand.doc_b),
+            edges AS MATERIALIZED (
+              -- VARCHAR casts match the operator's documented semantics:
+              -- cluster_id is the LEXICOGRAPHICALLY smallest node id.
+              SELECT CAST(doc_a AS VARCHAR) AS u, CAST(doc_b AS VARCHAR) AS v
+              FROM verified WHERE n_agree >= 0.2 * 32
+              UNION
+              SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR)
+              FROM verified WHERE n_agree >= 0.2 * 32),
+            reach(a, b) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+            lbl AS (
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a),
+            tagged AS (
+              SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                     coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+              FROM documents d LEFT JOIN lbl l ON CAST(d.doc_id AS VARCHAR) = l.doc_id),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM tagged GROUP BY cluster_id)
+            SELECT t.doc_id, t.cluster_id, s.cluster_size,
+                   t.doc_id <> t.cluster_id AS is_duplicate
+            FROM tagged t JOIN sizes s ON t.cluster_id = s.cluster_id""",
         "simhash_near_pairs": f"""
             WITH toks AS (
               SELECT doc_id,
@@ -1201,6 +1297,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_iri, CAST(count(*) AS BIGINT) AS n_mentions,
                    min(mention_kind) AS mention_kind
             FROM linked GROUP BY entity_iri""",
+        # BGP = the classic SPARQL→SQL self-join mapping; bag semantics on
+        # both sides (no DISTINCT — the Spark operator does not dedup either)
+        "kg_comention_pairs": f"""{_T_CTE}, {mentions_cte},
+            mention_edges AS MATERIALIZED (
+              SELECT {turn_subj} AS turn, entity_iri FROM linked),
+            labels AS MATERIALIZED (
+              SELECT DISTINCT entity_iri, lower(mention) AS label FROM linked)
+            SELECT t1.turn, t1.entity_iri AS e1, t2.entity_iri AS e2,
+                   l.label AS label1
+            FROM mention_edges t1
+            JOIN mention_edges t2 ON t2.turn = t1.turn
+            JOIN labels l ON l.entity_iri = t1.entity_iri
+            WHERE t1.entity_iri < t2.entity_iri""",
+        # Bounded BFS as a recursive CTE; MATERIALIZED keeps DuckDB from
+        # re-running the mention pipeline on every recursion step.
+        "kg_entity_khop": f"""{_T_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+            {mentions_cte},
+            edges AS MATERIALIZED (
+              SELECT {turn_subj} AS src, entity_iri AS dst FROM linked
+              UNION
+              SELECT entity_iri, {turn_subj} FROM linked),
+            walk(node, hops) AS (
+              SELECT DISTINCT entity_iri, 0 FROM linked
+              WHERE lower(mention) = 'checkout'
+              UNION
+              SELECT e.dst, w.hops + 1 FROM walk w
+              JOIN edges e ON e.src = w.node WHERE w.hops < 2)
+            SELECT node, CAST(min(hops) AS INT) AS hops
+            FROM walk GROUP BY node""",
         "pipeline_triples": pipeline_oracle,
         # streaming replay must emit EXACTLY the batch result — same oracle
         "streamed_pipeline_triples": pipeline_oracle,

@@ -187,6 +187,15 @@ def _q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_mention_counts(link_entities(extract_mentions(t)))
 
 
+def _q_entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity dimension table — the 'entities' pipeline stage."""
+    from pyld_spark.operators.linking import entity_table
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return entity_table(link_entities(extract_mentions(t)))
+
+
 def _mention_triple_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     t = transcripts_from_events(spark, sf_dir)
@@ -601,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_mentions": _q_linked_mentions,
         "mention_triples": _q_mention_triples,
         "entity_mention_counts": _q_entity_counts,
+        "entity_table": _q_entity_table,
         "kg_comention_pairs": _q_kg_comention,
         "kg_entity_khop": _q_kg_entity_khop,
         "exact_dedup": _q_exact_dedup,
@@ -1296,6 +1306,16 @@ def oracle_sql() -> dict[str, str]:
         "entity_mention_counts": f"""{_T_CTE}, {mentions_cte}
             SELECT entity_iri, CAST(count(*) AS BIGINT) AS n_mentions,
                    min(mention_kind) AS mention_kind
+            FROM linked GROUP BY entity_iri""",
+        # canonical entity dimension — semantically a plain GROUP BY; the
+        # operator's (entity, conv) pre-aggregation is physical skew
+        # handling only
+        "entity_table": f"""{_T_CTE}, {mentions_cte}
+            SELECT entity_iri, min(lower(mention)) AS label,
+                   min(mention_kind) AS mention_kind,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   max(score) AS score_max
             FROM linked GROUP BY entity_iri""",
         # BGP = the classic SPARQL→SQL self-join mapping; bag semantics on
         # both sides (no DISTINCT — the Spark operator does not dedup either)

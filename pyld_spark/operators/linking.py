@@ -118,6 +118,34 @@ def mention_triples(linked: DataFrame, min_score: float = 0.0) -> DataFrame:
     return mention_edges.unionByName(labels)
 
 
+def entity_table(linked: DataFrame) -> DataFrame:
+    """Canonical entity dimension table (north_star: "materializes canonical
+    entity and triple tables"): one row per entity with a deterministic
+    canonical label and corpus-wide stats.
+
+    (entity_iri, label, mention_kind, n_mentions, n_convs, score_max) where
+    label = min lowercase surface form (stable across runs and partitions).
+
+    Skew: same physical strategy as :func:`entity_mention_counts` — phase 1
+    pre-aggregates per (entity, conv) so the per-conversation fan-in of a hot
+    tool entity combines map-side, phase 2 reduces the per-conv partials per
+    entity (this also makes n_convs an exact distinct without a separate
+    count-distinct shuffle). Result is semantically a plain GROUP BY."""
+    per_conv = linked.groupBy("entity_iri", "conv_id").agg(
+        F.count("*").alias("_c"),
+        F.min(F.lower("mention")).alias("_label"),
+        F.min("mention_kind").alias("_k"),
+        F.max("score").alias("_s"),
+    )
+    return per_conv.groupBy("entity_iri").agg(
+        F.min("_label").alias("label"),
+        F.min("_k").alias("mention_kind"),
+        F.sum("_c").cast("bigint").alias("n_mentions"),
+        F.count("*").cast("bigint").alias("n_convs"),
+        F.max("_s").alias("score_max"),
+    )
+
+
 def entity_mention_counts(linked: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Mentions per entity via explicit two-phase (salted) aggregation.
 

@@ -2,7 +2,8 @@
 per-stage lineage rows (SURVEY.md §3.1 / §4.2; north_rule requirements).
 
 Stages (each a checkpointed table write):
-    assemble → link → triples (+quarantine) → canonicalize → materialize
+    assemble → link → triples (+quarantine) → canonicalize → entities →
+    materialize
 
 Sandbox note: checkpoints are parquet directories under ``workdir`` — the
 drop-in for Iceberg tables on a real cluster (``writeTo(...).createOrReplace``
@@ -109,6 +110,7 @@ class Pipeline:
         from pyld_spark.operators.canonicalize import canonicalize_triples
         from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
         from pyld_spark.operators.linking import (
+            entity_table,
             extract_mentions,
             link_entities,
             mention_triples,
@@ -132,6 +134,8 @@ class Pipeline:
 
         canonical = self._stage("canonicalize", lambda: canonicalize_triples(triples))
 
+        entities = self._stage("entities", lambda: entity_table(linked))
+
         def build_materialize():
             link_trips = mention_triples(linked).withColumn(
                 "doc_id", F.split(F.col("subj"), "/turn/")[0]
@@ -147,6 +151,7 @@ class Pipeline:
             "link": linked,
             "triples": triples,
             "canonicalize": canonical,
+            "entities": entities,
             "materialize": materialized,
         }
 

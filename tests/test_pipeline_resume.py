@@ -18,9 +18,18 @@ def test_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     n_mat = out["materialize"].count()
     assert n_triples == n_canon
     assert n_mat > n_canon  # + mention triples
+    # canonical entity table: one row per distinct entity in the link stage
+    ents = out["entities"]
+    assert set(ents.columns) == {
+        "entity_iri", "label", "mention_kind", "n_mentions", "n_convs",
+        "score_max",
+    }
+    n_entities = ents.count()
+    assert n_entities == out["link"].select("entity_iri").distinct().count()
     lineage1 = {r.stage: r for r in p.lineage().collect()}
     assert set(lineage1) == {
-        "assemble", "link", "triples", "canonicalize", "materialize",
+        "assemble", "link", "triples", "canonicalize", "entities",
+        "materialize",
     }
     assert lineage1["triples"].rows_out == n_triples
     assert lineage1["triples"].error_rows == 0

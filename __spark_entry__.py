@@ -17,6 +17,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -194,6 +195,21 @@ def _q_entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     t = transcripts_from_events(spark, sf_dir)
     return entity_table(link_entities(extract_mentions(t)))
+
+
+def _q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the entity co-mention graph (exact integer
+    arithmetic — deterministic across partitionings, hash-exact vs SQL)."""
+    from pyld_spark.operators.graph_stats import (
+        comention_edges,
+        pagerank_fixed_point,
+    )
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    linked = link_entities(extract_mentions(t))
+    ranks = pagerank_fixed_point(comention_edges(linked), iters=3)
+    return ranks.select(F.col("node").alias("entity_iri"), "rank_fp")
 
 
 def _mention_triple_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_triples": _q_mention_triples,
         "entity_mention_counts": _q_entity_counts,
         "entity_table": _q_entity_table,
+        "entity_pagerank": _q_entity_pagerank,
         "kg_comention_pairs": _q_kg_comention,
         "kg_entity_khop": _q_kg_entity_khop,
         "exact_dedup": _q_exact_dedup,
@@ -1242,8 +1259,47 @@ def oracle_sql() -> dict[str, str]:
                  AS nquads_sha256
         FROM lines l JOIN stats s ON l.conv_id = s.conv_id
         GROUP BY l.conv_id, s.n_turns"""
+    # Fixed-point PageRank (operators/graph_stats.py): exact-integer
+    # recurrence, so the oracle replays it bit-identically. Iterations are
+    # unrolled as sequential CTEs (aggregates are not allowed in a recursive
+    # CTE term). LEFT JOINs keep in-edge-less nodes (sum over no rows ->
+    # NULL -> coalesce 0), matching the operator's left join + coalesce.
+    pr_scale, pr_iters = 10**9, 3
+    pr_teleport = (pr_scale * 15) // 100
+    pr_ctes = [
+        f"pr0 AS (SELECT node, CAST({pr_scale} AS BIGINT) AS rank_fp FROM nodes)"
+    ]
+    for i in range(1, pr_iters + 1):
+        pr_ctes.append(f"""pr{i} AS MATERIALIZED (
+              SELECT n.node,
+                     CAST({pr_teleport} + coalesce(sum(
+                       (p.rank_fp * CAST(85 AS BIGINT))
+                         // (CAST(100 AS BIGINT) * o.out_degree)), 0)
+                       AS BIGINT) AS rank_fp
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.node
+              LEFT JOIN outdeg o ON o.src = e.src
+              LEFT JOIN pr{i - 1} p ON p.node = e.src
+              GROUP BY n.node)""")
+    pagerank_sql = f"""{_T_CTE}, {mentions_cte},
+            per_turn AS MATERIALIZED (
+              SELECT DISTINCT conv_id, turn_idx, entity_iri FROM linked),
+            edges AS MATERIALIZED (
+              SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+              FROM per_turn a JOIN per_turn b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.entity_iri <> b.entity_iri),
+            outdeg AS MATERIALIZED (
+              SELECT src, CAST(count(*) AS BIGINT) AS out_degree
+              FROM edges GROUP BY src),
+            nodes AS MATERIALIZED (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+            {", ".join(pr_ctes)}
+            SELECT node AS entity_iri, rank_fp FROM pr{pr_iters}"""
     return {
         **extras,
+        "entity_pagerank": pagerank_sql,
         "framed_conversations": f"""{_T_CTE}
             SELECT conv_id AS doc_id, 'Conversation' AS matched_type,
                    CAST(count(*) AS BIGINT) AS n_embedded_turns,

@@ -273,6 +273,30 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs_md5(_docs(spark, sf_dir), threshold=0.2)
 
 
+def _q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment per document."""
+    from pyld_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+def _q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling of the document corpus."""
+    from pyld_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        {"en": 1.0, "es": 0.5, "zh": 0.1},
+        default_fraction=0.25,
+    ).select("doc_id", "lang")
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.components import dedup_clusters
     from pyld_spark.operators.dedup import minhash_dedup_pairs_md5
@@ -634,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "doc_splits": _q_doc_splits,
+        "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
         "html_page_triples": _q_html_triples,
@@ -1297,9 +1323,30 @@ def oracle_sql() -> dict[str, str]:
               UNION SELECT dst FROM edges),
             {", ".join(pr_ctes)}
             SELECT node AS entity_iri, rank_fp FROM pr{pr_iters}"""
+    # Hash-split thresholds come from the SAME function the operator uses,
+    # so the oracle replays the exact hex-string comparison.
+    from pyld_spark.operators.sampling import _hex_threshold
+
+    split_bucket = "substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)"
+    strat_bucket = (
+        "substr(md5(concat('stratified:', CAST(doc_id AS VARCHAR))), 1, 8)"
+    )
     return {
         **extras,
         "entity_pagerank": pagerank_sql,
+        "doc_splits": f"""
+            SELECT doc_id,
+                   CASE WHEN {split_bucket} < '{_hex_threshold(0.9)}' THEN 'train'
+                        WHEN {split_bucket} < '{_hex_threshold(0.95)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        "lang_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {strat_bucket} <
+                  CASE WHEN lang = 'en' THEN '{_hex_threshold(1.0)}'
+                       WHEN lang = 'es' THEN '{_hex_threshold(0.5)}'
+                       WHEN lang = 'zh' THEN '{_hex_threshold(0.1)}'
+                       ELSE '{_hex_threshold(0.25)}' END""",
         "framed_conversations": f"""{_T_CTE}
             SELECT conv_id AS doc_id, 'Conversation' AS matched_type,
                    CAST(count(*) AS BIGINT) AS n_embedded_turns,

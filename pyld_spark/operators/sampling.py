@@ -1,0 +1,117 @@
+"""Deterministic sampling and dataset splits for training-data pipelines.
+
+A 100-TB corpus is never split with ``df.randomSplit`` (seed-and-
+partitioning dependent: adding one file reshuffles every assignment) —
+production pipelines derive the split from a HASH OF THE KEY, so:
+
+- assignment is a pure function of (key, salt): stable across runs, engines,
+  repartitions, and incremental ingests (a new document never moves an old
+  one between splits);
+- it needs no shuffle at all — a narrow projection at scan speed;
+- holdout integrity survives dataset growth (the property auditors ask for).
+
+The hash is the hex md5 of ``salt || ':' || key``: the first 8 hex chars are
+a uniform draw from 16^8 buckets, compared LEXICOGRAPHICALLY against hex
+thresholds. Pure string comparison keeps the exact same semantics in any
+SQL engine (the DuckDB gate oracle replays it verbatim) with no
+integer-conversion portability traps. xxhash64 variants (JVM-native, no
+md5 cost) are the scale path when oracle portability is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET_HEX_CHARS = 8
+_BUCKETS = 16**_BUCKET_HEX_CHARS
+
+
+def _bucket_hex(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt:key) — a uniform label in [0, 16^8)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))),
+        1,
+        _BUCKET_HEX_CHARS,
+    )
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Largest bucket label assigned to a cumulative ``fraction`` of keys."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    n = int(fraction * _BUCKETS)
+    if n >= _BUCKETS:
+        return "g"  # lexicographically above every hex bucket label
+    return format(n, f"0{_BUCKET_HEX_CHARS}x")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with probability ~ its weight.
+
+    Adds a ``split`` column. Weights must sum to 1 (±1e-9). Assignment is a
+    pure row-local function of ``key_col`` — no shuffle, stable under
+    repartitioning and dataset growth. Rows sharing a key land in the same
+    split (use the dedup cluster id as the key to keep near-duplicates out
+    of the holdout set).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = _bucket_hex(F.col(key_col), salt)
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — stable, shuffle-free,
+    and consistent across tables sharing the key (sampling documents and
+    their embeddings with the same salt keeps them aligned)."""
+    return df.where(
+        _bucket_hex(F.col(key_col), salt) < F.lit(_hex_threshold(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
+    languages, keep all rare ones). ``fractions`` maps stratum value →
+    keep-fraction; strata not listed keep ``default_fraction``. Row-local,
+    no shuffle, no per-stratum pass — one CASE expression."""
+    bucket = _bucket_hex(F.col(key_col), salt)
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        thr = F.lit(_hex_threshold(frac))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    default_thr = F.lit(_hex_threshold(default_fraction))
+    expr = default_thr if expr is None else expr.otherwise(default_thr)
+    return df.where(bucket < expr)

@@ -212,6 +212,19 @@ def _q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("entity_iri"), "rank_fp")
 
 
+def _q_bgp_optional_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a SPARQL OPTIONAL block: every turn's role, plus the tool
+    it invoked where there is one (NULL otherwise)."""
+    from pyld_spark.operators.kg_query import bgp_match
+
+    trips = turn_literal_triples(transcripts_from_events(spark, sf_dir))
+    return bgp_match(
+        trips,
+        [("?turn", _VOCAB + "role", "?role")],
+        optional=[("?turn", _VOCAB + "tool", "?tool")],
+    )
+
+
 def _mention_triple_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     t = transcripts_from_events(spark, sf_dir)
@@ -653,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_table": _q_entity_table,
         "entity_pagerank": _q_entity_pagerank,
         "kg_comention_pairs": _q_kg_comention,
+        "bgp_optional_tool": _q_bgp_optional_tool,
         "kg_entity_khop": _q_kg_entity_khop,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
@@ -1463,6 +1477,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS text_chars,
                    CAST(count(tool) AS BIGINT) AS n_tool_turns
             FROM transcripts GROUP BY conv_id""",
+        # OPTIONAL = LEFT JOIN on the shared variable (the SPARQL→SQL
+        # mapping for a one-pattern optional block)
+        "bgp_optional_tool": f"""{_T_CTE}, base AS (
+              SELECT {turn_subj} AS subj, role, tool FROM transcripts
+            ),
+            role_t AS (SELECT subj AS turn, role FROM base),
+            tool_t AS (SELECT subj AS turn, tool FROM base
+                       WHERE tool IS NOT NULL)
+            SELECT r.turn, r.role, t.tool
+            FROM role_t r LEFT JOIN tool_t t ON t.turn = r.turn""",
         "turn_literal_triples": f"""{_T_CTE}, base AS (
               SELECT {turn_subj} AS subj, turn_idx, role, text, tool FROM transcripts
             )

@@ -76,6 +76,7 @@ def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     filters: tuple[str, ...] | list[str] = (),
+    optional: list[tuple[str, str, str]] = (),
 ) -> DataFrame:
     """Match a basic graph pattern; one output row per binding (bag
     semantics), one output column per distinct ``?variable``.
@@ -83,13 +84,19 @@ def bgp_match(
     ``patterns`` is a list of (subj, pred, obj) terms; a leading ``?`` marks
     a variable, anything else is an IRI/literal constant compared against
     ``subj`` / ``pred`` / ``obj_value``. ``filters`` are SQL boolean
-    expressions over the variable columns, applied after all joins
-    (e.g. ``"e1 < e2"``).
+    expressions over the variable columns, applied after all required joins
+    (e.g. ``"e1 < e2"``). ``optional`` patterns are SPARQL ``OPTIONAL``
+    blocks of one pattern each: left-joined after the required part, their
+    new variables NULL where unmatched (and never constraining the required
+    bindings). Each optional pattern must share ≥1 variable with the
+    required part, and its new variables must be distinct from other
+    optional patterns' (one-level OPTIONAL, no optional-to-optional joins —
+    the common query shape, and the one with an unambiguous SQL mapping).
 
     Each pattern with constants compiles to a pushdown-filtered scan; shared
-    variables become equi-join keys. Patterns must be connected (each one
-    shares ≥1 variable with the ones before it) — an accidental cross
-    product over a triple table is never what anyone wants at scale.
+    variables become equi-join keys. Required patterns must be connected
+    (each one shares ≥1 variable with the ones before it) — an accidental
+    cross product over a triple table is never what anyone wants at scale.
     """
     if not patterns:
         raise ValueError("empty BGP")
@@ -107,6 +114,26 @@ def bgp_match(
         order += [c for c in f.columns if c not in order]
     for expr in filters:
         out = out.where(F.expr(expr))
+    required_vars = set(order)
+    seen_optional_vars: set[str] = set()
+    for pat in optional:
+        f = _pattern_frame(triples, pat)
+        shared = sorted(required_vars & set(f.columns))
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat!r} shares no variable with the "
+                "required patterns"
+            )
+        new_vars = set(f.columns) - required_vars
+        clash = new_vars & seen_optional_vars
+        if clash:
+            raise ValueError(
+                f"optional pattern {pat!r} rebinds variable(s) {sorted(clash)} "
+                "from another optional pattern"
+            )
+        seen_optional_vars |= new_vars
+        out = out.join(f, on=shared, how="left")
+        order += [c for c in f.columns if c not in order]
     # joins float their keys to the front; restore first-appearance order
     return out.select(*order)
 

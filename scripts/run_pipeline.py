@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--synthetic-convs", type=int, default=0,
                     help="if >0, use the synthetic generator at this size "
                          "instead of events-derived transcripts")
+    ap.add_argument("--incremental", action="store_true",
+                    help="delta ingest: process only conversations missing "
+                         "from the existing workdir outputs and append them "
+                         "(falls back to a full run on an empty workdir)")
     args = ap.parse_args()
 
     from pyld_spark.plans.pipeline import Pipeline
@@ -46,7 +50,10 @@ def main() -> None:
     else:
         transcripts = transcripts_from_events(spark, args.sf_dir)
     pipe = Pipeline(spark, args.workdir, run_id=args.run_id)
-    outputs = pipe.run(transcripts, bucket_input=args.bucket_input)
+    if args.incremental:
+        outputs = pipe.run_incremental(transcripts)
+    else:
+        outputs = pipe.run(transcripts, bucket_input=args.bucket_input)
     for stage, df in outputs.items():
         print(f"{stage}: {df.count()} rows -> {os.path.join(args.workdir, stage)}")
     print("lineage:")

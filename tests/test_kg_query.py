@@ -134,3 +134,48 @@ def test_gate_queries_match_duckdb_oracle(spark):
             + ", ".join(str(i + 1) for i in range(len(order)))
         ).fetchall()
         assert spark_rows == oracle, name
+
+
+def test_bgp_optional_pattern_nulls_where_unmatched(spark):
+    trips = _triples(spark, [
+        ("t1", V + "role", "literal", "user"),
+        ("t2", V + "role", "literal", "assistant"),
+        ("t2", V + "tool", "literal", "search"),
+    ])
+    out = bgp_match(
+        trips,
+        [("?turn", V + "role", "?role")],
+        optional=[("?turn", V + "tool", "?tool")],
+    )
+    got = {(r["turn"], r["role"], r["tool"]) for r in out.collect()}
+    assert got == {("t1", "user", None), ("t2", "assistant", "search")}
+    assert out.columns == ["turn", "role", "tool"]
+
+
+def test_bgp_optional_never_constrains_required(kg):
+    # an optional pattern that matches nothing leaves all required rows
+    out = bgp_match(
+        kg,
+        [("?turn", V + "mentions", "?e")],
+        optional=[("?e", V + "nope", "?x")],
+    )
+    assert out.count() == 4
+    assert all(r["x"] is None for r in out.collect())
+
+
+def test_bgp_optional_validation(kg):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(
+            kg,
+            [("?turn", V + "mentions", "?e")],
+            optional=[("?other", V + "label", "?lab")],
+        )
+    with pytest.raises(ValueError, match="rebinds"):
+        bgp_match(
+            kg,
+            [("?turn", V + "mentions", "?e")],
+            optional=[
+                ("?e", V + "label", "?lab"),
+                ("?turn", V + "mentions", "?lab"),
+            ],
+        )

@@ -57,3 +57,31 @@ def test_incremental_on_empty_workdir_is_full_run(spark, sf_dir, tmp_path):
     out = Pipeline(spark, wd, run_id="r1").run_incremental(t)
     assert out["materialize"].count() > 0
     assert out["entities"].count() > 0
+
+
+def test_incremental_random_batches_equal_full(spark, tmp_path):
+    """Fuzz the delta path: ingest a synthetic corpus in 3 randomly-sized
+    batches (including overlapping re-delivery of old conversations) and
+    assert the final tables equal a one-shot full run."""
+    import random
+
+    from pyld_spark.transcripts import synthesize_transcripts
+
+    rng = random.Random(20260817)
+    t = synthesize_transcripts(spark, n_convs=30, turns_per_conv=5,
+                               hot_convs=1, hot_turns=40)
+    convs = sorted(r["conv_id"] for r in t.select("conv_id").distinct().collect())
+    rng.shuffle(convs)
+    cut1, cut2 = rng.randint(1, 10), rng.randint(11, 25)
+    batches = [convs[:cut1], convs[:cut2], convs]  # prefixes => re-delivery
+
+    wd = str(tmp_path / "fuzz_inc")
+    for i, batch in enumerate(batches):
+        b = set(batch)
+        Pipeline(spark, wd, run_id=f"b{i}").run_incremental(
+            t.where(F.col("conv_id").isin(b))
+        )
+    out_inc = Pipeline(spark, wd, run_id="read").run_incremental(t)
+    out_full = Pipeline(spark, str(tmp_path / "fuzz_full"), run_id="full").run(t)
+    for stage in STAGES:
+        assert _sorted_rows(out_inc[stage]) == _sorted_rows(out_full[stage]), stage

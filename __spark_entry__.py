@@ -310,6 +310,24 @@ def _q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag train docs sharing any word 3-gram
+    with the held-out test split (GPT-3/Gopher-style check)."""
+    from pyld_spark.operators.sampling import hash_split
+    from pyld_spark.operators.textprep import ngram_decontaminate
+
+    docs = hash_split(
+        _docs(spark, sf_dir),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return ngram_decontaminate(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") == "test"),
+        n=3,
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.components import dedup_clusters
     from pyld_spark.operators.dedup import minhash_dedup_pairs_md5
@@ -673,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "doc_splits": _q_doc_splits,
+        "train_decontaminate": _q_decontaminate,
         "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
@@ -1361,6 +1380,40 @@ def oracle_sql() -> dict[str, str]:
                        WHEN lang = 'es' THEN '{_hex_threshold(0.5)}'
                        WHEN lang = 'zh' THEN '{_hex_threshold(0.1)}'
                        ELSE '{_hex_threshold(0.25)}' END""",
+        # word-3-gram overlap between the hash-derived train and test
+        # splits; grams per doc are DISTINCT on both sides (n_hits counts
+        # a train doc's distinct grams seen anywhere in test)
+        "train_decontaminate": f"""
+            WITH splits AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')) - 2, 0) + 1),
+                       i -> array_to_string(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')[i:i+2], ' '))) AS grams,
+                     CASE WHEN {split_bucket} < '{_hex_threshold(0.9)}'
+                            THEN 'train'
+                          WHEN {split_bucket} < '{_hex_threshold(0.95)}'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents),
+            te_grams AS MATERIALIZED (
+              SELECT DISTINCT unnest(grams) AS gram FROM splits
+              WHERE split = 'test'),
+            tr_grams AS (
+              SELECT doc_id, unnest(grams) AS gram FROM splits
+              WHERE split = 'train'),
+            hits AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM tr_grams t JOIN te_grams g USING (gram)
+              GROUP BY t.doc_id)
+            SELECT s.doc_id, CAST(len(s.grams) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM splits s LEFT JOIN hits h ON h.doc_id = s.doc_id
+            WHERE s.split = 'train'""",
         "framed_conversations": f"""{_T_CTE}
             SELECT conv_id AS doc_id, 'Conversation' AS matched_type,
                    CAST(count(*) AS BIGINT) AS n_embedded_turns,

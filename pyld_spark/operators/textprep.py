@@ -99,3 +99,64 @@ def chunk_documents(documents: DataFrame, text_col: str = "text",
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def word_ngrams_expr(col_name: str, n: int):
+    """array_distinct of lowercase word n-grams (whitespace tokenization),
+    as a pure SQL expression (DuckDB oracle mirrors it with list ops)."""
+    toks = f"filter(split(lower({col_name}), '\\\\s+'), t -> t <> '')"
+    return F.expr(
+        f"array_distinct(CASE WHEN size({toks}) < {n} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END)"
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with the
+    evaluation set (the GPT-3/Gopher-style decontamination check).
+
+    Returns one row per TRAIN document: (doc_id, n_grams, n_hits,
+    contaminated). ``n_grams`` counts the doc's distinct n-grams,
+    ``n_hits`` how many of them occur anywhere in ``test``.
+
+    Scale shape: the test-set gram table is distinct-ed first — eval sets
+    are orders of magnitude smaller than the corpus, so Catalyst/AQE
+    broadcasts it and the train side stays a narrow scan → explode →
+    broadcast-join → per-doc count with map-side combine. No train×train
+    work, nothing quadratic; a hot gram ("the of and ...") costs rows
+    only on the train side, bounded by its own document frequency.
+    """
+    test_grams = (
+        test.select(F.explode(word_ngrams_expr(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams_expr(text_col, n)).alias("gram"),
+    )
+    hits = (
+        train_grams.join(test_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    sizes = train.select(
+        F.col(id_col),
+        F.size(word_ngrams_expr(text_col, n)).cast("bigint").alias("n_grams"),
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

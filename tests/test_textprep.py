@@ -108,3 +108,42 @@ def test_textprep_gate_queries_match_oracle(spark, sf_dir):
         )
         assert sorted(sdf.columns) == sorted(odf.columns.tolist()), name
         assert spark_rows == oracle_rows, name
+
+
+def test_word_ngrams_expr(spark):
+    from pyld_spark.operators.textprep import word_ngrams_expr
+
+    df = spark.createDataFrame(
+        [("a", "The quick  brown fox"), ("b", "tiny"), ("c", "")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", word_ngrams_expr("text", 3).alias("g")).collect()}
+    assert got["a"] == ["the quick brown", "quick brown fox"]
+    assert got["b"] == [] and got["c"] == []
+
+
+def test_ngram_decontaminate(spark):
+    from pyld_spark.operators.textprep import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            ("t1", "alpha beta gamma delta"),       # shares 'alpha beta gamma'
+            ("t2", "completely different words here"),
+            ("t3", "x"),                            # no 3-grams at all
+            ("t4", "ALPHA BETA GAMMA"),             # case-insensitive hit
+        ],
+        "doc_id string, text string",
+    )
+    test = spark.createDataFrame(
+        [("e1", "prefix alpha beta gamma suffix")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+           for r in ngram_decontaminate(train, test, n=3).collect()}
+    assert got == {
+        "t1": (2, 1, True),
+        "t2": (2, 0, False),
+        "t3": (0, 0, False),
+        "t4": (1, 1, True),
+    }

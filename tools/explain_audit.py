@@ -91,6 +91,50 @@ def main() -> None:
             .filter(F.col("event_type") == "error")
             .select("event_id", "user_id"),
     }
+
+    from pyld_spark.operators.graph_stats import (
+        comention_edges, pagerank_fixed_point,
+    )
+    from pyld_spark.operators.kg_query import bgp_match
+    from pyld_spark.operators.linking import entity_table, mention_triples
+    from pyld_spark.operators.sampling import hash_split
+    from pyld_spark.operators.textprep import ngram_decontaminate
+
+    linked = link_entities(extract_mentions(t))
+    mtrips = mention_triples(linked)
+    splits = hash_split(documents, "doc_id",
+                        {"train": 0.9, "val": 0.05, "test": 0.05})
+    plans.update({
+        "entity_table (per-(entity,conv) pre-agg → per-entity reduce; "
+        "exact n_convs with no separate count-distinct shuffle)":
+            entity_table(linked),
+        "bgp_match 3 patterns + OPTIONAL (pushdown-filtered pattern scans, "
+        "equi-joins on shared vars, left join for the optional block)":
+            bgp_match(
+                mtrips,
+                [("?turn", "https://pyld-spark.example/vocab#mentions", "?e1"),
+                 ("?turn", "https://pyld-spark.example/vocab#mentions", "?e2")],
+                filters=("e1 < e2",),
+                optional=[("?e1", "https://pyld-spark.example/vocab#label",
+                           "?lab")],
+            ),
+        "pagerank one iteration (hash join ranks⋈edges + map-side-combined "
+        "sum; lineage truncated per iteration at runtime)":
+            pagerank_fixed_point(
+                mtrips.where(F.col("obj_kind") == "IRI")
+                .select(F.col("subj").alias("src"),
+                        F.col("obj_value").alias("dst")),
+                iters=1,
+            ),
+        "hash_split (pure row-local projection — expect zero exchanges)":
+            splits.select("doc_id", "split"),
+        "ngram_decontaminate (distinct test grams [small] joined to "
+        "train explode; per-doc count with partial aggregation)":
+            ngram_decontaminate(
+                splits.where(F.col("split") == "train"),
+                splits.where(F.col("split") == "test"), n=3,
+            ),
+    })
     _ = RDF_TYPE  # imported for documentation of the filter constant
 
     out = ["# Physical plans (explain formatted)\n",

@@ -328,6 +328,13 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing per (lang, shard) group."""
+    from pyld_spark.operators.textprep import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512, by=("lang",))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.components import dedup_clusters
     from pyld_spark.operators.dedup import minhash_dedup_pairs_md5
@@ -692,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "doc_splits": _q_doc_splits,
         "train_decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
         "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
@@ -1414,6 +1422,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM splits s LEFT JOIN hits h ON h.doc_id = s.doc_id
             WHERE s.split = 'train'""",
+        # window-sum replay of pack_sequences: same (lang, shard) partition,
+        # same doc_id order, same BPE-ish token count as text_stats
+        "pack_sequences": """
+            WITH staged AS (
+              SELECT lang,
+                     substr(md5(concat('pack:', CAST(doc_id AS VARCHAR))), 1, 1)
+                       AS shard,
+                     doc_id,
+                     CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+                        + len(regexp_extract_all(text, '[0-9]+'))
+                        + len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                       AS BIGINT) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT lang, shard, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang, shard
+                                         ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - n_tokens AS prev
+              FROM staged)
+            SELECT lang, shard, doc_id, n_tokens,
+                   CAST(floor(prev / 512) AS BIGINT) AS pack_id,
+                   CAST(prev % 512 AS BIGINT) AS pack_offset
+            FROM cum""",
         "framed_conversations": f"""{_T_CTE}
             SELECT conv_id AS doc_id, 'Conversation' AS matched_type,
                    CAST(count(*) AS BIGINT) AS n_embedded_turns,

@@ -160,3 +160,63 @@ def ngram_decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: tuple[str, ...] = (),
+    shards: int = 16,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ("packs").
+
+    Within each (``by``..., shard) group, documents are laid end-to-end in
+    deterministic ``id_col`` order over a token stream cut every ``seq_len``
+    tokens; a document belongs to the pack where it STARTS (a straddling doc
+    spills into the next window — the packer that actually splits text does
+    so downstream with ``chunk_documents``). Output per document:
+    (``by``..., shard, doc_id, n_tokens, pack_id, pack_offset), where
+    pack_id is the window index within the group and pack_offset the
+    document's token offset inside its window.
+
+    Scale shape: ONE window aggregation partitioned by (by..., shard) —
+    ``shards`` (first hex char of md5, portable to the SQL oracle) bounds
+    every window partition to ~1/16 of a stratum regardless of corpus
+    size, so no single-reducer global ordering exists anywhere. Assignment
+    is deterministic: independent of input partitioning, stable under
+    re-runs; appending documents with HIGHER ids never re-packs earlier
+    ones within a shard.
+    """
+    from pyspark.sql import Window
+
+    from pyld_spark.operators.textstats import bpe_ish_token_count
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be > 0")
+    shard = F.substring(
+        F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 1
+    )
+    if shards == 1:
+        shard = F.lit("0")
+    elif shards != 16:
+        raise ValueError("shards must be 1 or 16 (one hex char)")
+    toks = bpe_ish_token_count(text_col).cast("bigint")
+    w = (
+        Window.partitionBy(*(list(by) + ["shard"]))
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = documents.select(
+        *by, F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+    )
+    prev = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.select(
+        *by,
+        "shard",
+        id_col,
+        "n_tokens",
+        F.floor(prev / seq_len).cast("bigint").alias("pack_id"),
+        (prev % seq_len).cast("bigint").alias("pack_offset"),
+    )

@@ -147,3 +147,38 @@ def test_ngram_decontaminate(spark):
         "t3": (0, 0, False),
         "t4": (1, 1, True),
     }
+
+
+def test_pack_sequences_single_shard_semantics(spark):
+    from pyld_spark.operators.textprep import pack_sequences
+
+    # token counts: "aa bb" -> 2, "c d e" -> 3, "ff" -> 1, "g h" -> 2
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "c d e"), (3, "ff"), (4, "g h")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(docs, seq_len=4, shards=1).collect()}
+    # stream: doc1@0..1, doc2@2..4 (starts in pack 0), doc3@5, doc4@6..7
+    assert got == {
+        1: (2, 0, 0),
+        2: (3, 0, 2),
+        3: (1, 1, 1),
+        4: (2, 1, 2),
+    }
+
+
+def test_pack_sequences_append_stable_and_partition_invariant(spark):
+    from pyld_spark.operators.textprep import pack_sequences
+
+    full = spark.createDataFrame(
+        [(i, f"tok{i} " * (i % 7 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = pack_sequences(full.repartition(11), seq_len=16).collect()
+    b = pack_sequences(full.repartition(2), seq_len=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # appending higher-id docs never re-packs earlier ones (per shard)
+    prefix = pack_sequences(full.where("doc_id < 100"), seq_len=16).collect()
+    full_map = {r["doc_id"]: tuple(r) for r in a}
+    assert all(full_map[r["doc_id"]] == tuple(r) for r in prefix)

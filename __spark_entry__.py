@@ -328,6 +328,15 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the raw event stream, one row
+    per session with exact integer-microsecond boundary arithmetic."""
+    from pyld_spark.operators.sessions import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_seconds=1800)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget sequence packing per (lang, shard) group."""
     from pyld_spark.operators.textprep import pack_sequences
@@ -700,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_splits": _q_doc_splits,
         "train_decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "event_sessions": _q_event_sessions,
         "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
@@ -1446,6 +1456,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS pack_id,
                    CAST(prev % 512 AS BIGINT) AS pack_offset
             FROM cum""",
+        # lag + running-sum-of-boundaries sessionization; integer
+        # microseconds so sub-second gaps round identically in any engine
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - 1 AS session_seq
+              FROM flagged)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS started, max(ts) AS ended,
+                   CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts)))
+                              / 1000000.0) AS BIGINT) AS duration_sec
+            FROM tagged GROUP BY user_id, session_seq""",
         "framed_conversations": f"""{_T_CTE}
             SELECT conv_id AS doc_id, 'Conversation' AS matched_type,
                    CAST(count(*) AS BIGINT) AS n_embedded_turns,

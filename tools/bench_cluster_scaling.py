@@ -56,7 +56,18 @@ spark = (
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    # the docs stage output is ~64 small files; default 128m/4m packing
+    # coalesces them into ~9 read splits, which quantizes the 4N level to
+    # task-wave granularity (9 tasks / 8 cores = 2 waves, one mostly idle).
+    # Small splits give BOTH levels enough tasks for stragglers to even out.
+    .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.sql.files.openCostInBytes", "1m")
     .config("spark.local.dir", "/dev/shm/spark-local")
+    # a trial that silently runs with fewer than cores.max/exec_cores
+    # executors measures cluster-manager luck, not scaling: block until
+    # EVERY executor is registered before any job runs
+    .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+    .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "120s")
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
     .config("spark.sql.session.timeZone", "UTC")
@@ -137,8 +148,10 @@ n_canon = canonicalize_triples(triples).count()
 t_canon = time.perf_counter() - t0
 
 t_total = t_asm + t_triples + t_canon
+n_execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
 print("RESULT " + json.dumps({{
-    "cores_max": cores_max, "executors": cores_max // {exec_cores},
+    "cores_max": cores_max, "executors_live": n_execs,
+    "executors": cores_max // {exec_cores},
     "n_turns": n_turns, "n_triples": n_triples,
     "wall_assemble": round(t_asm, 3), "wall_triples": round(t_triples, 3),
     "wall_canonicalize": round(t_canon, 3), "wall_total": round(t_total, 3),

@@ -7,6 +7,10 @@ export SPARK_HOME=${SPARK_HOME:-/opt/spark}
 export SPARK_MASTER_HOST=127.0.0.1
 export SPARK_LOG_DIR=/tmp/spark-logs
 export SPARK_WORKER_DIR=/tmp/spark-work
+# executors take their local (shuffle/spill) dirs from the WORKER env in
+# standalone mode — a driver-side spark.local.dir is ignored with a warning.
+# Keep shuffle in RAM: the sandbox's virtio disk has host-weather latency.
+export SPARK_LOCAL_DIRS=/dev/shm/spark-local
 
 case "$1" in
   start)

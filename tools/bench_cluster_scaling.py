@@ -56,12 +56,6 @@ spark = (
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-    # the docs stage output is ~64 small files; default 128m/4m packing
-    # coalesces them into ~9 read splits, which quantizes the 4N level to
-    # task-wave granularity (9 tasks / 8 cores = 2 waves, one mostly idle).
-    # Small splits give BOTH levels enough tasks for stragglers to even out.
-    .config("spark.sql.files.maxPartitionBytes", "8m")
-    .config("spark.sql.files.openCostInBytes", "1m")
     .config("spark.local.dir", "/dev/shm/spark-local")
     # a trial that silently runs with fewer than cores.max/exec_cores
     # executors measures cluster-manager luck, not scaling: block until
@@ -131,6 +125,15 @@ warm.unpersist(); warm_docs.unpersist()
 t0 = time.perf_counter()
 assemble_documents(t).write.mode("overwrite").parquet(base + "/docs")
 t_asm = time.perf_counter() - t0
+
+# SMALL read splits for the docs->triples stage ONLY: default 128m/4m
+# packing coalesces the ~64 small docs files into ~9 splits, quantizing the
+# 4N level to task waves (9 tasks / 8 cores = 2 waves, one mostly idle).
+# Scoped per-stage because globally small splits blow up the canonicalize
+# shuffle's map-side count (mappers x reducers fetch segments), which taxes
+# exactly the multi-executor level (at N every shuffle read is local).
+spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+spark.conf.set("spark.sql.files.openCostInBytes", "1m")
 docs = spark.read.parquet(base + "/docs")
 
 # checkpointed like plans/pipeline.py: the stage output is a parquet
@@ -140,6 +143,8 @@ t0 = time.perf_counter()
 triples, _ = split_quarantine(docs_to_triples(docs))
 triples.write.mode("overwrite").parquet(base + "/triples")
 t_triples = time.perf_counter() - t0
+spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
 triples = spark.read.parquet(base + "/triples")
 n_triples = triples.count()
 
@@ -164,17 +169,32 @@ shutil.rmtree(base, ignore_errors=True)
 
 
 def run_level(cores_max: int, n_convs: int, turns: int, exec_cores: int) -> dict:
+    """One level in a child process. A py4j gateway stall (observed once:
+    python driver blocked on the gateway socket while the JVM gateway idles,
+    AFTER all executor tasks of the stage finished) would otherwise hang a
+    whole run — so each level gets a hard timeout (LEVEL_TIMEOUT env,
+    default 1800 s, far above any legitimate wall) and ONE retry."""
     code = _CHILD.format(repo=REPO, cores_max=cores_max, n_convs=n_convs,
                          turns=turns, exec_cores=exec_cores)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(
-        f"no RESULT (cores_max={cores_max}):\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
-    )
+    level_timeout = int(os.environ.get("LEVEL_TIMEOUT", "1800"))
+    last_err = None
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=level_timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            last_err = f"level timed out after {level_timeout}s (attempt {attempt})"
+            print(f"WARN {last_err}; retrying" if attempt == 0 else
+                  f"WARN {last_err}", file=sys.stderr, flush=True)
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        last_err = (f"no RESULT (cores_max={cores_max}):\n"
+                    f"{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
+    raise RuntimeError(last_err)
 
 
 def main() -> None:

@@ -260,6 +260,39 @@ def _q_kg_entity_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_neighborhood(triples, seeds, k=2)
 
 
+# Small constant ontology for the RDFS-entailment gate query: subclass
+# edges over the three mention kinds (local names; both the Spark query and
+# the DuckDB oracle prefix them with _VOCAB).
+_ONTOLOGY = [
+    ("Handle", "Agent"),
+    ("Tool", "Agent"),
+    ("Url", "Resource"),
+    ("Agent", "Entity"),
+    ("Resource", "Entity"),
+]
+
+
+def _q_entailed_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS subclass entailment over the linked-entity type facts: each
+    entity is asserted its per-kind class (handle→Handle, url→Url,
+    tool→Tool), then the constant ontology's subclass closure is broadcast-
+    joined to add every superclass, flagging asserted vs inferred rows."""
+    from pyld_spark.operators.inference import entailed_types
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    linked = link_entities(extract_mentions(t))
+    facts = linked.select(
+        F.col("entity_iri").alias("instance"),
+        F.concat(F.lit(_VOCAB), F.initcap("mention_kind")).alias("cls"),
+    ).distinct()
+    onto = spark.createDataFrame(_ONTOLOGY, "sub string, sup string").select(
+        F.concat(F.lit(_VOCAB), "sub").alias("sub"),
+        F.concat(F.lit(_VOCAB), "sup").alias("sup"),
+    )
+    return entailed_types(facts, onto)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -702,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention_pairs": _q_kg_comention,
         "bgp_optional_tool": _q_bgp_optional_tool,
         "kg_entity_khop": _q_kg_entity_khop,
+        "entailed_entity_types": _q_entailed_types,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
@@ -809,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
                  round(1.0 - 1.0 / (2.0 + length(lower(mention))), 4) AS score
           FROM m
         )"""
+    onto_values = ", ".join(f"('{s}', '{p}')" for s, p in _ONTOLOGY)
     shingles5 = (
         "list_distinct(list_transform(range(1, greatest(length(text)-4,1)+1),"
         " i -> text[i:i+4]))"
@@ -1582,6 +1617,29 @@ def oracle_sql() -> dict[str, str]:
               JOIN edges e ON e.src = w.node WHERE w.hops < 2)
             SELECT node, CAST(min(hops) AS INT) AS hops
             FROM walk GROUP BY node""",
+        # RDFS subclass entailment: closure of the constant ontology as a
+        # recursive CTE, applied to the per-kind entity type facts; an
+        # asserted row wins when a fact is both asserted and inferred.
+        "entailed_entity_types": f"""{_T_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+            {mentions_cte},
+            onto(sub, sup) AS (VALUES {onto_values}),
+            closure(sub, sup) AS (
+              SELECT sub, sup FROM onto
+              UNION
+              SELECT c.sub, o.sup FROM closure c JOIN onto o ON o.sub = c.sup),
+            facts AS MATERIALIZED (
+              SELECT DISTINCT entity_iri AS instance,
+                     concat('{_VOCAB}',
+                            upper(mention_kind[1]) || mention_kind[2:]) AS cls
+              FROM linked),
+            all_rows AS (
+              SELECT instance, cls, TRUE AS asserted FROM facts
+              UNION ALL
+              SELECT f.instance, concat('{_VOCAB}', c.sup), FALSE
+              FROM facts f
+              JOIN closure c ON concat('{_VOCAB}', c.sub) = f.cls)
+            SELECT instance, cls, max(asserted) AS asserted
+            FROM all_rows GROUP BY instance, cls""",
         "pipeline_triples": pipeline_oracle,
         # streaming replay must emit EXACTLY the batch result — same oracle
         "streamed_pipeline_triples": pipeline_oracle,

@@ -301,6 +301,13 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals + pass/fail flag."""
+    from pyld_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.dedup import exact_dedup
 
@@ -737,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_khop": _q_kg_entity_khop,
         "entailed_entity_types": _q_entailed_types,
         "exact_dedup": _q_exact_dedup,
+        "repetition_stats": _q_repetition,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -764,6 +772,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio": _q_media_audio,
         "compact_corpus": _q_compact_corpus,
     }
+
+
+def _repetition_oracle() -> str:
+    """DuckDB replay of operators/repetition.py: lines/paragraphs/word
+    n-grams exploded with list lambdas, duplicate-occurrence fractions and
+    per-n coverage aggregates, thresholds generated from the module's own
+    constants so the oracle can't drift from the operator."""
+    from pyld_spark.operators.repetition import DUP_NS, THRESHOLDS, TOP_NS
+
+    ns_values = ", ".join(f"({n})" for n in (*TOP_NS, *DUP_NS))
+    frac_exprs = []
+    for n in TOP_NS:
+        frac_exprs.append(
+            f"round(max(CASE WHEN n = {n} THEN top_cover END)"
+            f" / max(n_chars), 6) AS top_{n}gram_char_frac"
+        )
+    for n in DUP_NS:
+        frac_exprs.append(
+            f"round(max(CASE WHEN n = {n} THEN dup_cover END)"
+            f" / max(n_chars), 6) AS dup_{n}gram_char_frac"
+        )
+    metric_cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        *[f"top_{n}gram_char_frac" for n in TOP_NS],
+        *[f"dup_{n}gram_char_frac" for n in DUP_NS],
+    ]
+    coalesced = ",\n                   ".join(
+        f"coalesce({c}, 0.0) AS {c}" for c in metric_cols
+    )
+    flag = " OR ".join(f"{c} > {THRESHOLDS[c]}" for c in metric_cols)
+
+    def unit_stats(src: str, prefix: str) -> str:
+        return f"""{prefix}_units AS (
+              SELECT doc_id, unnest({src}) AS unit FROM base),
+            {prefix}_counts AS (
+              SELECT doc_id, unit, count(*) AS cnt
+              FROM {prefix}_units GROUP BY doc_id, unit),
+            {prefix}_stats AS (
+              SELECT doc_id,
+                     round(sum(cnt - 1) / sum(cnt), 6) AS dup_{prefix}_frac,
+                     round(sum(length(unit) * (cnt - 1))
+                           / sum(length(unit) * cnt), 6)
+                       AS dup_{prefix}_char_frac
+              FROM {prefix}_counts GROUP BY doc_id)"""
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 list_filter(string_split_regex(text, '\n'),
+                             x -> length(x) > 0) AS lines,
+                 list_filter(string_split_regex(text, '\n{{2,}}'),
+                             x -> length(x) > 0) AS paras,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS words
+          FROM documents),
+        {unit_stats("lines", "line")},
+        {unit_stats("paras", "para")},
+        grams AS (
+          SELECT doc_id, n_chars, ns.n AS n,
+                 unnest(list_transform(
+                   range(1, greatest(len(words) - ns.n + 2, 1)),
+                   i -> array_to_string(words[i:i + ns.n - 1], ' '))) AS gram
+          FROM base CROSS JOIN (VALUES {ns_values}) ns(n)),
+        gram_counts AS (
+          SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+          FROM grams GROUP BY doc_id, n_chars, n, gram),
+        per_n AS (
+          SELECT doc_id, n_chars, n,
+                 max(cnt * length(gram)) AS top_cover,
+                 sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                   AS dup_cover
+          FROM gram_counts GROUP BY doc_id, n_chars, n),
+        gram_stats AS (
+          SELECT doc_id, {", ".join(frac_exprs)}
+          FROM per_n GROUP BY doc_id),
+        joined AS (
+          SELECT b.doc_id,
+                   {coalesced}
+          FROM base b
+          LEFT JOIN line_stats USING (doc_id)
+          LEFT JOIN para_stats USING (doc_id)
+          LEFT JOIN gram_stats USING (doc_id))
+        SELECT *, ({flag}) AS repetition_flag FROM joined"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -895,6 +987,10 @@ def oracle_sql() -> dict[str, str]:
         )
 
     extras = {
+        # Gopher repetition signals: same unit/gram explosion + two-level
+        # aggregation replayed with DuckDB list lambdas (see
+        # operators/repetition.py for the documented fraction definitions)
+        "repetition_stats": _repetition_oracle(),
         "exact_dedup": """
             WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
             s AS (SELECT content_hash, min(doc_id) AS survivor_id FROM h GROUP BY 1)

@@ -51,6 +51,7 @@ _VOCAB = "https://pyld-spark.example/vocab#"
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _CONV = "https://pyld-spark.example/conv/"
+_OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -258,6 +259,44 @@ def _q_kg_entity_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         triples, [("?node", _VOCAB + "label", "checkout")]
     ).distinct()
     return khop_neighborhood(triples, seeds, k=2)
+
+
+def _q_sameas_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs entity resolution end-to-end: handle entities '@userN'
+    are asserted sameAs the url entities 'https://ex.org/e/N' (external-id
+    alignment), the assertions are unioned into the mention triple table,
+    and the graph is rewritten onto canonical ids (components over the
+    entity-sized edge set; the corpus-sized quad table sees two broadcast
+    left joins + one distinct)."""
+    from pyld_spark.operators.entity_resolution import (
+        OWL_SAMEAS,
+        resolve_sameas,
+    )
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    linked = link_entities(extract_mentions(t))
+    ent = linked.select(
+        "entity_iri", F.lower("mention").alias("label"), "mention_kind"
+    ).distinct()
+    handles = ent.where(F.col("mention_kind") == "handle").select(
+        F.regexp_extract("label", r"^@user(\d+)$", 1).alias("k"),
+        F.col("entity_iri").alias("src"),
+    ).where(F.col("k") != "")
+    urls = ent.where(F.col("mention_kind") == "url").select(
+        F.regexp_extract("label", r"/e/(\d+)$", 1).alias("k"),
+        F.col("entity_iri").alias("dst"),
+    ).where(F.col("k") != "")
+    sameas = handles.join(urls, "k").select(
+        "src",
+        F.lit(OWL_SAMEAS).alias("pred"),
+        F.lit("IRI").alias("obj_kind"),
+        F.col("dst").alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_language"),
+    ).withColumnRenamed("src", "subj")
+    triples = mention_triples(linked).unionByName(sameas)
+    return resolve_sameas(triples)
 
 
 # Small constant ontology for the RDFS-entailment gate query: subclass
@@ -743,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional_tool": _q_bgp_optional_tool,
         "kg_entity_khop": _q_kg_entity_khop,
         "entailed_entity_types": _q_entailed_types,
+        "sameas_canonical_triples": _q_sameas_triples,
         "exact_dedup": _q_exact_dedup,
         "repetition_stats": _q_repetition,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
@@ -1713,6 +1753,63 @@ def oracle_sql() -> dict[str, str]:
               JOIN edges e ON e.src = w.node WHERE w.hops < 2)
             SELECT node, CAST(min(hops) AS INT) AS hops
             FROM walk GROUP BY node""",
+        # owl:sameAs resolution replay: components over the alignment edges
+        # via a recursive reach CTE (canonical = min member), then the
+        # rewrite joins + distinct exactly as entity_resolution.py
+        "sameas_canonical_triples": f"""{_T_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+            {mentions_cte},
+            ent AS MATERIALIZED (
+              SELECT DISTINCT entity_iri, lower(mention) AS label,
+                     mention_kind
+              FROM linked),
+            sa_edges AS MATERIALIZED (
+              SELECT h.entity_iri AS src, u.entity_iri AS dst
+              FROM (SELECT regexp_extract(label, '^@user(\\d+)$', 1) AS k,
+                           entity_iri FROM ent
+                    WHERE mention_kind = 'handle') h
+              JOIN (SELECT regexp_extract(label, '/e/(\\d+)$', 1) AS k,
+                           entity_iri FROM ent
+                    WHERE mention_kind = 'url') u
+                ON h.k = u.k AND h.k <> '' AND u.k <> ''),
+            und AS (SELECT src AS u, dst AS v FROM sa_edges
+                    UNION SELECT dst, src FROM sa_edges),
+            reach(a, b) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN und e ON r.b = e.u),
+            cmap AS MATERIALIZED (
+              SELECT entity, canonical FROM (
+                SELECT a AS entity, least(a, min(b)) AS canonical
+                FROM reach GROUP BY a)
+              WHERE entity <> canonical),
+            trip AS (
+              SELECT {turn_subj} AS subj, '{_VOCAB}mentions' AS pred,
+                     'IRI' AS obj_kind, entity_iri AS obj_value,
+                     CAST(NULL AS STRING) AS obj_datatype,
+                     CAST(NULL AS STRING) AS obj_language
+              FROM linked
+              UNION ALL
+              SELECT DISTINCT entity_iri, '{_VOCAB}label', 'literal',
+                     lower(mention), '{_XSD}string', CAST(NULL AS STRING)
+              FROM linked
+              UNION ALL
+              SELECT src, '{_OWL_SAMEAS}', 'IRI', dst,
+                     CAST(NULL AS STRING), CAST(NULL AS STRING)
+              FROM sa_edges),
+            rew AS (
+              SELECT coalesce(ms.canonical, t.subj) AS subj, t.pred,
+                     t.obj_kind,
+                     CASE WHEN t.obj_kind = 'IRI'
+                          THEN coalesce(mo.canonical, t.obj_value)
+                          ELSE t.obj_value END AS obj_value,
+                     t.obj_datatype, t.obj_language
+              FROM trip t
+              LEFT JOIN cmap ms ON ms.entity = t.subj
+              LEFT JOIN cmap mo
+                ON t.obj_kind = 'IRI' AND mo.entity = t.obj_value)
+            SELECT DISTINCT * FROM rew
+            WHERE NOT (pred = '{_OWL_SAMEAS}' AND obj_kind = 'IRI'
+                       AND subj = obj_value)""",
         # RDFS subclass entailment: closure of the constant ontology as a
         # recursive CTE, applied to the per-kind entity type facts; an
         # asserted row wins when a fact is both asserted and inferred.

@@ -340,6 +340,14 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al exact duplicate substring spans (k=10 words, corpus-wide
+    count >= 2), merged per document."""
+    from pyld_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=10)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals + pass/fail flag."""
     from pyld_spark.operators.repetition import repetition_stats
@@ -785,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_canonical_triples": _q_sameas_triples,
         "exact_dedup": _q_exact_dedup,
         "repetition_stats": _q_repetition,
+        "duplicate_spans": _q_duplicate_spans,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1031,6 +1040,43 @@ def oracle_sql() -> dict[str, str]:
         # aggregation replayed with DuckDB list lambdas (see
         # operators/repetition.py for the documented fraction definitions)
         "repetition_stats": _repetition_oracle(),
+        # duplicate-span replay: same shingle explosion, HAVING-count dup
+        # filter, and gaps-and-islands window merge (k=10)
+        "duplicate_spans": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(words) - 10 + 2, 1)),
+                       i -> struct_pack(pos := i,
+                              h := md5(array_to_string(words[i:i + 9], ' '))
+                            ))) AS s
+              FROM base),
+            sh2 AS (SELECT doc_id, CAST(s.pos AS INT) AS pos, s.h AS h FROM sh),
+            dup AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM sh2 JOIN dup USING (h)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN max(pos) OVER w IS NULL
+                            OR pos > max(pos) OVER w + 10 THEN 1
+                          ELSE 0 END AS new_span
+              FROM hits
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            spans AS (
+              SELECT doc_id, pos,
+                     sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS span_no
+              FROM isl)
+            SELECT doc_id, min(pos) AS start_word,
+                   max(pos) + 9 AS end_word,
+                   max(pos) - min(pos) + 10 AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM spans GROUP BY doc_id, span_no""",
         "exact_dedup": """
             WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
             s AS (SELECT content_hash, min(doc_id) AS survivor_id FROM h GROUP BY 1)

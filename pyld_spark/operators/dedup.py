@@ -483,3 +483,80 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring spans, per Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (arXiv:2107.06499): every
+    maximal word range covered by k-word shingles that occur >= min_count
+    times ANYWHERE in the corpus (cross- or within-document). Output one
+    row per merged span: (doc_id, start_word, end_word, n_words, n_grams)
+    with 1-based inclusive word positions.
+
+    The paper builds a corpus suffix array - inherently sequential and
+    RAM-bound. At 10^12-turn scale the same signal decomposes into plain
+    dataflow: (1) explode k-shingles with their start position (narrow);
+    (2) ONE count aggregation keyed on the md5 of the shingle (fixed-width
+    key regardless of k; map-side combine absorbs within-partition repeats
+    of viral shingles); (3) a semi join routes only duplicated shingles
+    back to their positions; (4) per-doc gaps-and-islands interval merge -
+    a window over (doc_id, pos), bounded by the doc's own hit count. Every
+    stage is linear in corpus size and every key is either the shingle
+    hash (high cardinality) or doc_id (high cardinality); nothing is
+    all-pairs. False-positive risk is the md5 collision rate (~2^-64 per
+    pair at petabyte shingle counts) - acceptable for span REMOVAL, noted
+    per the paper's own hash-based approximations.
+    """
+    w = F.expr(
+        rf"filter(split(lower({text_col}), '\\s+'), x -> x <> '')"
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"), w.alias("words"))
+    shingles = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(words) >= {k} THEN "
+                f"transform(sequence(1, size(words) - {k} + 1), "
+                f"i -> named_struct('pos', i, "
+                f"'h', md5(array_join(slice(words, i, {k}), ' ')))) "
+                f"ELSE array() END"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    dup = (
+        shingles.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    hits = shingles.join(dup, "h", "left_semi").select("doc_id", "pos")
+
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # all intervals are length k, so "overlaps or touches the running
+    # span" is pos <= prev_max_pos + k
+    islanded = hits.withColumn(
+        "new_span",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max + k), 1).otherwise(0),
+    ).withColumn(
+        "span_no",
+        F.sum("new_span").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islanded.groupBy("doc_id", "span_no").agg(
+        F.min("pos").alias("start_word"),
+        (F.max("pos") + F.lit(k - 1)).alias("end_word"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_words"),
+        F.count("*").alias("n_grams"),
+    ).drop("span_no")

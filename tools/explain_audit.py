@@ -135,6 +135,42 @@ def main() -> None:
                 splits.where(F.col("split") == "test"), n=3,
             ),
     })
+
+    from pyld_spark.operators.dedup import duplicate_spans
+    from pyld_spark.operators.entity_resolution import (
+        canonical_entity_map, rewrite_triples, sameas_edges,
+    )
+    from pyld_spark.operators.inference import entailed_types
+    from pyld_spark.operators.repetition import repetition_stats
+
+    sameas_map = canonical_entity_map(
+        spark.createDataFrame([("e:b", "e:a")], "src string, dst string")
+    )
+    onto = spark.createDataFrame(
+        [("User", "Agent"), ("Agent", "Thing")], "sub string, sup string"
+    )
+    # cls must be a real column (a constant literal would constant-fold the
+    # join key and show an unrepresentative nested-loop plan)
+    facts = linked.select(
+        F.col("entity_iri").alias("instance"),
+        F.initcap("mention_kind").alias("cls"),
+    )
+    plans.update({
+        "entailed_types (driver-small closure fixpoint + ONE broadcast "
+        "map-side join of the corpus-sized fact table; single keyed "
+        "aggregation on the high-cardinality instance column)":
+            entailed_types(facts, onto),
+        "rewrite_triples / sameAs merge (two broadcast left joins on "
+        "subj/obj + one distinct; quad table scanned once)":
+            rewrite_triples(mtrips, sameas_map),
+        "repetition_stats (one (doc,n,gram) shuffle w/ map-side combine, "
+        "one per-doc reduce, three left joins on doc_id)":
+            repetition_stats(documents),
+        "duplicate_spans (md5-shingle count agg + left-semi route-back + "
+        "per-doc window island merge — linear, no all-pairs)":
+            duplicate_spans(documents, k=10),
+    })
+    _ = sameas_edges  # plan shape identical to a filtered projection
     _ = RDF_TYPE  # imported for documentation of the filter constant
 
     out = ["# Physical plans (explain formatted)\n",

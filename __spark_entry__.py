@@ -54,6 +54,11 @@ _CONV = "https://pyld-spark.example/conv/"
 _OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 
+def _IDOT(a: str, b: str) -> str:
+    """DuckDB integer dot product of two 64-dim quantized list columns."""
+    return f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction path at sf0.001 — transcripts →
     window-ordered assembly → JSON-LD expansion → node map → RDF triples
@@ -582,6 +587,37 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_dot_topk(embs, queries_df, k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (nlist=16, nprobe=4) with a brute-force agreement flag:
+    ``in_brute`` marks IVF hits that the exact quantized top-k also
+    contains, so per-query recall = sum(in_brute)/k is oracle-replayable."""
+    from pyld_spark.operators.similarity import (
+        ivf_topk_quantized,
+        quantized_dot_topk,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk_quantized(embs, queries_df, k=10, nlist=16, nprobe=4)
+    brute = quantized_dot_topk(embs, queries_df, k=10).select(
+        "query_id", F.col("neighbor_id").alias("_bf_neighbor")
+    )
+    return (
+        ivf.join(
+            brute,
+            (ivf["query_id"] == brute["query_id"])
+            & (ivf["neighbor_id"] == brute["_bf_neighbor"]),
+            "left",
+        )
+        .select(
+            ivf["query_id"], ivf["neighbor_id"], ivf["rank"], ivf["dot"],
+            F.col("_bf_neighbor").isNotNull().alias("in_brute"),
+        )
+    )
+
+
 def _q_ann_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -815,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": _q_ann_topk,
         "ann_topk_cosine": _q_ann_brute_cosine,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -1316,6 +1353,53 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(cos * 1000000) AS BIGINT) AS cos_q6
                   FROM d)
             SELECT query_id, neighbor_id, rank, cos_q6 FROM r WHERE rank <= 10""",
+        # IVF-flat replay: deterministic centroid prefix, argmax cell
+        # assignment + nprobe probe via windows, in-cell integer ranking
+        "ann_topk_ivf": f"""
+            WITH qv AS (SELECT vec_id, {quant} AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cell_id, v AS cent FROM qv
+                     ORDER BY vec_id LIMIT 16),
+            assign AS (
+              SELECT neighbor_id, cq, cell_id FROM (
+                SELECT qv.vec_id AS neighbor_id, qv.v AS cq, c.cell_id,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                         ORDER BY {_IDOT("qv.v", "c.cent")} DESC, c.cell_id
+                       ) AS rn
+                FROM qv CROSS JOIN cent c)
+              WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qq FROM qv
+                  WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, qq, cell_id FROM (
+                SELECT q.query_id, q.qq, c.cell_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_IDOT("q.qq", "c.cent")} DESC, c.cell_id
+                       ) AS rn
+                FROM q CROSS JOIN cent c)
+              WHERE rn <= 4),
+            d AS (SELECT query_id, neighbor_id,
+                         CAST({_IDOT("cq", "qq")} AS BIGINT) AS dot
+                  FROM assign JOIN probes USING (cell_id)),
+            ivfr AS (SELECT query_id, neighbor_id,
+                            CAST(row_number() OVER (
+                              PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+                            ) AS INT) AS rank, dot
+                     FROM d),
+            dall AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                            CAST({_IDOT("a.v", "q.qq")} AS BIGINT) AS dot
+                     FROM qv a CROSS JOIN q),
+            bf AS (SELECT query_id, neighbor_id
+                   FROM (SELECT query_id, neighbor_id,
+                                row_number() OVER (
+                                  PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+                                ) AS rnk
+                         FROM dall)
+                   WHERE rnk <= 10)
+            SELECT i.query_id, i.neighbor_id, i.rank, i.dot,
+                   (bf.neighbor_id IS NOT NULL) AS in_brute
+            FROM ivfr i LEFT JOIN bf
+              ON i.query_id = bf.query_id AND i.neighbor_id = bf.neighbor_id
+            WHERE i.rank <= 10""",
         "ann_topk_lsh": f"""
             WITH planes AS (
               SELECT i, list_transform(range(0, 64), j ->

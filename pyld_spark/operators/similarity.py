@@ -344,3 +344,117 @@ def lsh_bucketed_topk(
     return out.select(
         query_id_col, "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the quantized embeddings of the
+    ``nlist`` smallest vector ids — (cell_id, _cent).
+
+    Production would train centroids offline (k-means on a sample) and
+    ship them as a tiny table; everything downstream (cell routing, probe
+    selection, in-cell ranking) is agnostic to HOW the centroid table was
+    produced. The deterministic choice keeps the whole operator
+    oracle-replayable. ``orderBy(...).limit(nlist)`` compiles to
+    TakeOrderedAndProject — per-partition top-nlist, no global sort."""
+    return (
+        embeddings.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            quantize_expr(F.col(vec_col), scale).alias("_cent"),
+        )
+    )
+
+
+def ivf_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-flat ANN (the FAISS-style inverted-file index as dataflow):
+    corpus vectors are routed to their best of ``nlist`` centroid cells,
+    each query probes its ``nprobe`` closest cells, and exact ranking runs
+    only inside the probed cells — candidate cost is
+    |corpus| × nprobe / nlist per query instead of |corpus|.
+
+    Scale shape: ONE narrow pass assigns cells (broadcast centroid table,
+    integer-dot argmax with map-side partial aggregation — no shuffle of
+    the corpus beyond the agg on vec_id); the probe table is
+    queries × nprobe rows (broadcast); the candidate join is keyed on
+    cell_id (its fan-in per cell is corpus/nlist — pick nlist so a cell
+    fits a task, exactly the FAISS sizing rule) and feeds the bounded
+    two-phase top-k. All similarity math is integer (quantized), so the
+    DuckDB oracle replays it bit-exactly. Ties break toward the smaller
+    cell_id / neighbor_id. Returns (query_id, neighbor_id, rank, dot).
+    """
+    cent = ivf_centroids(embeddings, nlist, id_col, vec_col, scale)
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_expr(F.col(vec_col), scale).alias("_cq"),
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "_cq",
+            "cell_id",
+            idot(F.col("_cq"), F.col("_cent")).alias("_cdot"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "cell_id", F.struct(F.col("_cdot"), -F.col("cell_id"))
+            ).alias("cell_id"),
+            F.first("_cq").alias("_cq"),
+        )
+    )
+
+    q = queries.select(
+        F.col(query_id_col),
+        quantize_expr(F.col(vec_col), scale).alias("_qq"),
+    )
+    probe_rank = F.row_number().over(
+        Window.partitionBy(query_id_col).orderBy(
+            F.col("_qdot").desc(), F.col("cell_id").asc()
+        )
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            query_id_col,
+            "_qq",
+            "cell_id",
+            idot(F.col("_qq"), F.col("_cent")).alias("_qdot"),
+        )
+        .withColumn("_pr", probe_rank)
+        .where(F.col("_pr") <= nprobe)
+        .select(query_id_col, "_qq", "cell_id")
+    )
+
+    scored = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .select(
+            query_id_col,
+            "neighbor_id",
+            idot(F.col("_cq"), F.col("_qq")).alias("dot"),
+        )
+    )
+    return _two_phase_topk(scored, query_id_col, k, "dot")

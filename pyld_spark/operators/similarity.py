@@ -382,6 +382,7 @@ def ivf_topk_quantized(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scale: int = 1000,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN (the FAISS-style inverted-file index as dataflow):
     corpus vectors are routed to their best of ``nlist`` centroid cells,
@@ -399,7 +400,11 @@ def ivf_topk_quantized(
     DuckDB oracle replays it bit-exactly. Ties break toward the smaller
     cell_id / neighbor_id. Returns (query_id, neighbor_id, rank, dot).
     """
-    cent = ivf_centroids(embeddings, nlist, id_col, vec_col, scale)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, nlist, id_col, vec_col, scale)
+    )
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -458,3 +463,94 @@ def ivf_topk_quantized(
         )
     )
     return _two_phase_topk(scored, query_id_col, k, "dot")
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    nlist: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized vectors → an IVF
+    centroid table (cell_id, _cent) drop-in compatible with
+    :func:`ivf_topk_quantized`'s ``cent`` contract.
+
+    Deterministic by construction: init = the ``nlist`` smallest-id
+    vectors (same rule as :func:`ivf_centroids`); a FIXED number of Lloyd
+    iterations (no float convergence test — bounded plans, reproducible
+    results); assignment ties break toward the smaller cell id; empty
+    cells keep their previous centroid. Each iteration is one broadcast
+    argmax pass over the corpus + one mean aggregation keyed on cell_id
+    (map-side partials; nlist cells never skew a reducer) — the textbook
+    MapReduce k-means, O(iters) jobs, no driver-side data.
+
+    Means are computed in doubles then re-quantized to the integer grid,
+    so downstream routing stays engine-exact; the training itself is NOT
+    oracle-replayable (iterative float means) and is certified by the
+    differential numpy test instead (tests/test_ivf_ann.py).
+    """
+    c = embeddings.select(
+        F.col(id_col).cast("long").alias("_id"),
+        quantize_expr(F.col(vec_col), scale).alias("_v"),
+    ).localCheckpoint()
+    cent = (
+        c.orderBy("_id")
+        .limit(nlist)
+        .select(
+            F.col("_id").alias("cell_id"),
+            F.transform("_v", lambda x: x.cast("double")).alias("_c"),
+        )
+    )
+    idotd = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # nearest by euclidean distance on the quantized grid:
+    # argmin ||v-c||^2 = argmin (||c||^2 - 2 v.c)
+    for _ in range(iters):
+        cn = cent.withColumn("_cn", idotd(F.col("_c"), F.col("_c")))
+        scoredc = c.crossJoin(F.broadcast(cn)).select(
+            "_id",
+            "_v",
+            "cell_id",
+            (
+                F.col("_cn")
+                - 2.0 * idotd(F.transform("_v", lambda x: x.cast("double")), F.col("_c"))
+            ).alias("_d2"),
+        )
+        assign = scoredc.groupBy("_id").agg(
+            F.min_by("cell_id", F.struct(F.col("_d2"), F.col("cell_id"))).alias(
+                "cell_id"
+            ),
+            F.first("_v").alias("_v"),
+        )
+        # per-cell component means: posexplode + (cell, dim) agg — map-side
+        # partials shrink each partition to nlist×dim rows before shuffle
+        sums = (
+            assign.select("cell_id", F.posexplode("_v").alias("_j", "_x"))
+            .groupBy("cell_id", "_j")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_j", (F.col("_s") / F.col("_n")).alias("_m")))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("_c")
+            )
+        )
+        # empty cells keep their previous centroid
+        cent = (
+            cent.select("cell_id", F.col("_c").alias("_prev"))
+            .join(sums, "cell_id", "left")
+            .select("cell_id", F.coalesce("_c", "_prev").alias("_c"))
+            .localCheckpoint()
+        )
+    return cent.select(
+        "cell_id",
+        F.transform("_c", lambda x: F.round(x, 0).cast("long")).alias("_cent"),
+    )

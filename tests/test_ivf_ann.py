@@ -91,3 +91,103 @@ def test_probe_all_cells_equals_brute_force(spark):
         for r in quantized_dot_topk(df, q, k=5).collect()
     }
     assert ivf == brute
+
+
+def _py_kmeans(vecs, nlist, iters, scale=1000):
+    """Sequential-fold replay of kmeans_centroids (exact: all sums are
+    integer-valued or single correctly-rounded double ops)."""
+    ids = sorted(vecs)
+    qv = {i: _quant(vecs[i], scale) for i in ids}
+    cent = {cid: [float(x) for x in qv[cid]] for cid in ids[:nlist]}
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    for _ in range(iters):
+        assign = {}
+        for i in ids:
+            v = qv[i]
+            vd = [float(x) for x in v]
+            best, bd = None, None
+            for cid in sorted(cent):
+                d2 = sdot(cent[cid], cent[cid]) - 2.0 * sdot(vd, cent[cid])
+                if bd is None or d2 < bd or (d2 == bd and cid < best):
+                    best, bd = cid, d2
+            assign.setdefault(best, []).append(i)
+        for cid in cent:
+            mem = assign.get(cid)
+            if mem:
+                dim = len(qv[mem[0]])
+                cent[cid] = [
+                    sum(qv[i][j] for i in mem) / len(mem) for j in range(dim)
+                ]
+
+    def rnd(x):
+        import math
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    return {cid: [rnd(x) for x in c] for cid, c in cent.items()}
+
+
+def test_kmeans_matches_python_replay(spark):
+    from pyld_spark.operators.similarity import kmeans_centroids
+
+    rng = random.Random(3)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(50)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["cell_id"]: list(r["_cent"])
+        for r in kmeans_centroids(df, nlist=4, iters=3).collect()
+    }
+    assert got == _py_kmeans(vecs, nlist=4, iters=3)
+
+
+def test_ivf_with_trained_centroids(spark):
+    from pyld_spark.operators.similarity import (
+        ivf_topk_quantized,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(21)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent_df = kmeans_centroids(df, nlist=4, iters=2)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["dot"])
+        for r in ivf_topk_quantized(
+            df, q, k=5, nprobe=2, centroids=cent_df
+        ).collect()
+    }
+
+    # python replay with the SAME (verified-above) centroid table
+    cents = {
+        r["cell_id"]: list(r["_cent"]) for r in cent_df.collect()
+    }
+    qv = {i: _quant(v) for i, v in vecs.items()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assign = {}
+    for i, v in qv.items():
+        best = max(cents, key=lambda c: (dot(v, cents[c]), -c))
+        assign.setdefault(best, []).append(i)
+    want = set()
+    for qid in (0, 1):
+        cells = sorted(cents, key=lambda c: (-dot(qv[qid], cents[c]), c))[:2]
+        cand = [i for c in cells for i in assign.get(c, [])]
+        for r, i in enumerate(
+            sorted(cand, key=lambda i: (-dot(qv[qid], qv[i]), i))[:5], 1
+        ):
+            want.add((qid, i, r, dot(qv[qid], qv[i])))
+    assert got == want

@@ -101,11 +101,12 @@ def test_two_phase_topk_matches_naive_window(spark):
     assert got == expected
 
 
-def test_two_phase_topk_plan_has_partial_fold(spark):
-    """The ranking plan must show the partition-local bounded top-k fold
-    (MapInPandas, O(k) state per query — round-3 replacement for the
-    collect_list partial aggregate) BEFORE the per-query window's exchange —
-    no single-reducer full-candidate window."""
+def test_two_phase_topk_plan_has_partial_group_limit(spark):
+    """The ranking plan must show the partition-local bounded top-k
+    (WindowGroupLimit Partial, O(k) heap state per query — round-4 JVM-side
+    replacement for the mapInPandas fold, which paid an Arrow transfer of
+    every candidate row) BEFORE the per-query window's exchange — no
+    single-reducer full-candidate window, no Python in the ranking path."""
     from pyld_spark.operators.similarity import quantized_dot_topk
 
     embs = spark.createDataFrame(
@@ -113,10 +114,11 @@ def test_two_phase_topk_plan_has_partial_fold(spark):
     )
     queries = embs.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
     plan = quantized_dot_topk(embs, queries, k=5)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
-    # the fold runs map-side: it appears below the window's exchange
+    assert "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan
+    # the partial group limit runs map-side: below the window's exchange
     pre_shuffle = plan.split("Exchange", 1)[-1]
-    assert "MapInPandas" in pre_shuffle
+    assert "WindowGroupLimit" in pre_shuffle and "Partial" in pre_shuffle
 
 
 def test_frame_type_prefilter_avoids_full_distinct(spark):

@@ -1,0 +1,161 @@
+"""Scale bench for the round-4 data-pipeline operators on synthetic
+corpora (deterministic, sized so each stage wall is seconds-scale on
+local[32] — large enough to expose a quadratic blowup, small enough to
+iterate).
+
+Usage: python tools/bench_dataops.py [n_docs] [n_vecs]
+Prints one JSON line per operator: wall seconds + input size + throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_docs(spark, n_docs: int):
+    """Deterministic docs: ~60 words from a small vocab (guaranteeing
+    n-gram repetition), every 10th doc shares a 20-word block (guaranteed
+    cross-doc duplicate spans), newline every ~9 words."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_docs).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"), "id"
+    )
+    word = (
+        "concat('w', cast(pmod(hash(id, {j}), 500) as string))"
+    )
+    words = ", ".join(word.format(j=j) for j in range(60))
+    shared = " ".join(f"s{i}" for i in range(20))
+    return base.select(
+        "doc_id",
+        F.expr(
+            f"concat_ws(' ', {words})"
+        ).alias("_w"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.expr("cast(substring(doc_id, 2) as bigint) % 10 = 0"),
+            F.concat(F.lit(shared + " "), F.regexp_replace("_w", " w", "\nw")),
+        )
+        .otherwise(F.regexp_replace("_w", "(\\w+ \\w+ \\w+ \\w+ \\w+ \\w+ \\w+ \\w+ \\w+) ", "$1\n"))
+        .alias("text"),
+    )
+
+
+def synth_vecs(spark, n_vecs: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    comps = F.array(
+        *[
+            (F.pmod(F.hash(F.col("id"), F.lit(j)), F.lit(2001)) - 1000).cast(
+                "float"
+            )
+            / 1000.0
+            for j in range(dim)
+        ]
+    )
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), comps.alias("embedding")
+    )
+
+
+def timed(name, df, rows_in):
+    t0 = time.time()
+    n = df.count()
+    wall = round(time.time() - t0, 3)
+    print(json.dumps({
+        "op": name, "wall_sec": wall, "rows_out": n, "rows_in": rows_in,
+        "rows_in_per_sec": round(rows_in / wall) if wall else None,
+    }), flush=True)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+
+    from pyspark.sql import functions as F
+
+    from pyld_spark.operators.dedup import duplicate_spans
+    from pyld_spark.operators.entity_resolution import (
+        canonical_entity_map, rewrite_triples,
+    )
+    from pyld_spark.operators.inference import entailed_types
+    from pyld_spark.operators.repetition import repetition_stats
+    from pyld_spark.operators.similarity import (
+        ivf_topk_quantized, kmeans_centroids,
+    )
+    from pyld_spark.session import ensure_workers_can_import, get_spark
+
+    spark = get_spark("bench_dataops", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ensure_workers_can_import(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synth_docs(spark, n_docs).localCheckpoint()
+    _ = docs.count()
+    timed("repetition_stats", repetition_stats(docs), n_docs)
+    timed("duplicate_spans(k=10)", duplicate_spans(docs, k=10), n_docs)
+
+    vecs = synth_vecs(spark, n_vecs).localCheckpoint()
+    _ = vecs.count()
+    queries = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed(
+        "ivf_topk(nlist=64,nprobe=8,16q)",
+        ivf_topk_quantized(vecs, queries, k=10, nlist=64, nprobe=8),
+        n_vecs,
+    )
+    t0 = time.time()
+    cent = kmeans_centroids(vecs, nlist=64, iters=3)
+    n = cent.count()
+    print(json.dumps({
+        "op": "kmeans(nlist=64,iters=3)",
+        "wall_sec": round(time.time() - t0, 3), "rows_out": n,
+        "rows_in": n_vecs,
+    }), flush=True)
+
+    # sameAs rewrite over a synthetic quad table: n_docs*20 quads, 5% of
+    # entities in 2-member sameAs classes
+    n_ent = max(n_docs // 10, 1000)
+    quads = spark.range(n_docs * 20).select(
+        F.concat(F.lit("e:"), F.pmod(F.hash("id"), F.lit(n_ent))).alias("subj"),
+        F.lit("p:rel").alias("pred"),
+        F.lit("IRI").alias("obj_kind"),
+        F.concat(F.lit("e:"), F.pmod(F.hash("id", F.lit(1)), F.lit(n_ent))).alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_language"),
+        F.lit("@default").alias("graph"),
+    ).localCheckpoint()
+    _ = quads.count()
+    edges = spark.range(n_ent // 20).select(
+        F.concat(F.lit("e:"), F.col("id") * 20).alias("src"),
+        F.concat(F.lit("e:"), F.col("id") * 20 + 1).alias("dst"),
+    )
+    t0 = time.time()
+    mapping = canonical_entity_map(edges).localCheckpoint()
+    _ = mapping.count()
+    map_wall = round(time.time() - t0, 3)
+    timed("sameas_rewrite(5% merged)", rewrite_triples(quads, mapping), n_docs * 20)
+    print(json.dumps({"op": "canonical_entity_map", "wall_sec": map_wall,
+                      "rows_in": n_ent // 20}), flush=True)
+
+    # entailment: depth-8 chain ontology applied to n_docs*2 type facts
+    onto = spark.createDataFrame(
+        [(f"C{i}", f"C{i+1}") for i in range(8)], "sub string, sup string"
+    )
+    facts = spark.range(n_docs * 2).select(
+        F.concat(F.lit("x:"), F.col("id")).alias("instance"),
+        F.concat(F.lit("C"), F.pmod(F.hash("id"), F.lit(8))).alias("cls"),
+    )
+    timed("entailed_types(depth-8 chain)", entailed_types(facts, onto), n_docs * 2)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

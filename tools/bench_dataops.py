@@ -64,12 +64,26 @@ def synth_vecs(spark, n_vecs: int, dim: int = 64):
     )
 
 
+TRIALS = int(os.environ.get("BENCH_DATAOPS_TRIALS", "3"))
+
+
 def timed(name, df, rows_in):
-    t0 = time.time()
-    n = df.count()
-    wall = round(time.time() - t0, 3)
+    """Best-of-TRIALS wall for one op. The sandbox hypervisor intermittently
+    steals 20-25% CPU, which triggers sched_yield spin storms in the
+    32-thread JVM (sys-time 50-80%, user ~0%) and inflates individual runs
+    up to 25x — a single-shot wall is meaningless here, the minimum across
+    trials is the real cost. All trials are printed so a noisy session is
+    visible in the record."""
+    walls = []
+    n = None
+    for _ in range(TRIALS):
+        t0 = time.time()
+        n = df.count()
+        walls.append(round(time.time() - t0, 3))
+    wall = min(walls)
     print(json.dumps({
-        "op": name, "wall_sec": wall, "rows_out": n, "rows_in": rows_in,
+        "op": name, "wall_sec": wall, "trials": walls, "rows_out": n,
+        "rows_in": rows_in,
         "rows_in_per_sec": round(rows_in / wall) if wall else None,
     }), flush=True)
 
@@ -110,12 +124,15 @@ def main() -> None:
         ivf_topk_quantized(vecs, queries, k=10, nlist=64, nprobe=8),
         n_vecs,
     )
-    t0 = time.time()
-    cent = kmeans_centroids(vecs, nlist=64, iters=3)
-    n = cent.count()
+    kwalls = []
+    n = None
+    for _ in range(TRIALS):
+        t0 = time.time()
+        n = kmeans_centroids(vecs, nlist=64, iters=3).count()
+        kwalls.append(round(time.time() - t0, 3))
     print(json.dumps({
         "op": "kmeans(nlist=64,iters=3)",
-        "wall_sec": round(time.time() - t0, 3), "rows_out": n,
+        "wall_sec": min(kwalls), "trials": kwalls, "rows_out": n,
         "rows_in": n_vecs,
     }), flush=True)
 

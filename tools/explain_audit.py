@@ -67,8 +67,8 @@ def main() -> None:
         "minhash_dedup_pairs (LSH band bucket join)":
             minhash_dedup_pairs(documents, threshold=0.2),
         "quantized_dot_topk (broadcast query side + partition-local bounded "
-        "top-k fold [MapInPandas, O(k) state] before the per-query window; "
-        "no full-candidate per-query window)":
+        "top-k [WindowGroupLimit Partial, O(k) state, JVM-side] before the "
+        "per-query exchange; no full-candidate per-query window)":
             quantized_dot_topk(embs, queries),
         "embedding_cosine_pairs (LSH bucket join, never all-pairs)":
             embedding_cosine_pairs(embs, dim=64, threshold_q6=250000, n_planes=4),

@@ -469,10 +469,18 @@ def kmeans_centroids(
     oracle-replayable (iterative float means) and is certified by the
     differential numpy test instead (tests/test_ivf_ann.py).
     """
+    # persist (not localCheckpoint) for the training corpus: it is read
+    # once per iteration and must be RELEASED when training ends — a
+    # checkpoint would pin ~0.5 KB/vector of executor storage for the
+    # session lifetime (measured: repeated trainings in one session
+    # degraded 2x from the accumulated leak + GC pressure). The per-
+    # iteration centroid table below still localCheckpoints: nlist rows
+    # (tiny), and the truncated lineage is what keeps the iterative plan
+    # from nesting.
     c = embeddings.select(
         F.col(id_col).cast("long").alias("_id"),
         quantize_expr(F.col(vec_col), scale).alias("_v"),
-    ).localCheckpoint()
+    ).persist()
     cent = (
         c.orderBy("_id")
         .limit(nlist)
@@ -528,6 +536,7 @@ def kmeans_centroids(
             .select("cell_id", F.coalesce("_c", "_prev").alias("_c"))
             .localCheckpoint()
         )
+    c.unpersist()
     return cent.select(
         "cell_id",
         F.transform("_c", lambda x: F.round(x, 0).cast("long")).alias("_cent"),

@@ -409,15 +409,13 @@ def compact(
     if not isinstance(element, dict):
         return element
 
+    # FIRST property-scoped context application (reference jsonld.py:
+    # 1447-1451): runs before value compaction and before input_ctx is
+    # captured, so value objects, @type VALUES and type-scoped lookups all
+    # see the property-scoped context — including a nullifying
+    # ``"@context": null``, which is why an embedded node under such a term
+    # emits its @type as a full IRI (found by the round-4 framing soak)
     defn = active.terms.get(active_property)
-    # context before the previous-context revert and any scoped contexts —
-    # the reference compacts @type VALUES and looks up type-scoped contexts
-    # against this one (jsonld.py:1500-1507, 1546-1556, 1568-1571)
-    input_ctx = active
-    # revert term-scoped context for new node objects
-    if active.previous is not None and "@value" not in element and set(element) != {"@id"}:
-        active = active.previous
-    # property-scoped context
     if defn is not None and defn.context is not UNSET:
         active = process_context(
             active, defn.context, defn.context_base,
@@ -432,20 +430,37 @@ def compact(
 
     if is_list_object(element):
         # reached for lists nested inside lists (the property loop unwraps
-        # top-level list objects itself)
+        # top-level list objects itself); container re-looked-up post-scope
         inner = compact(
             active, active_property, element["@list"], compact_arrays, ordered,
             base_url, loader, link_memo,
         )
         if not isinstance(inner, list):
             inner = [inner]
-        container = defn.container if defn is not None else frozenset()
+        ldefn = active.terms.get(active_property)
+        container = ldefn.container if ldefn is not None else frozenset()
         if "@list" in container:
             return inner
         wrapped = {compact_iri(active, "@list", vocab=True): inner}
         if "@index" in element:
             wrapped[compact_iri(active, "@index", vocab=True)] = element["@index"]
         return wrapped
+
+    # context for @type VALUES and type-scoped-context definition lookups —
+    # post property-scoped application, pre revert (reference jsonld.py:1502)
+    input_ctx = active
+    # revert term-scoped context for new node objects (jsonld.py:1505-1507)
+    if active.previous is not None:
+        active = active.previous
+    # SECOND property-scoped application, now from input_ctx against the
+    # reverted context (reference jsonld.py:1509-1516) — a no-op when the
+    # first application nullified the term's own definition away
+    defn = input_ctx.terms.get(active_property)
+    if defn is not None and defn.context is not UNSET:
+        active = process_context(
+            active, defn.context, defn.context_base,
+            loader=loader, override_protected=True,
+        )
 
     inside_reverse = active_property == "@reverse"
     result: dict = {}

@@ -261,3 +261,52 @@ def test_vocab_empty_string_resolves_to_default_base():
         {"@vocab": "", "ex": EX},
     )
     assert out == {"@context": {"@vocab": "", "ex": EX}, "ex:term2": ""}
+
+
+# ---------------------------------------------------------------------------
+# property-scoped context applies BEFORE input_ctx capture (reference
+# jsonld.py:1447-1451 vs 1502): a nested node under a term with a scoped
+# "@context": null emits its @type as a full IRI, because the nullified
+# context is what @type VALUES compact against. Found by the round-4
+# framing soak (fresh-entropy wave); verified against the reference.
+
+def test_scoped_null_context_uncompacts_nested_type():
+    ctx = {"t": {"@id": "http://e/t", "@context": None}}
+    expanded = [
+        {"@id": "http://e/rn", "http://e/t": [{"@id": "_:b0", "@type": ["http://e/t"]}]}
+    ]
+    out = api.compact(json.loads(json.dumps(expanded)), ctx)
+    assert out == {
+        "@context": ctx,
+        "@id": "http://e/rn",
+        "t": {"@id": "_:b0", "@type": "http://e/t"},
+    }
+
+
+def test_scoped_null_context_framing_parity():
+    # the original falsifying example from the framing soak
+    ctx = {"t": {"@id": "http://e/t", "@context": None}}
+    body = {"@context": ctx, "@type": "t", "@reverse": {"t": {"@id": "http://e/rn"}}}
+    out = api.frame(json.loads(json.dumps(body)), {"@context": ctx})
+    assert out == {
+        "@context": ctx,
+        "@graph": [
+            {"@id": "_:b0", "@type": "t"},
+            {"@id": "http://e/rn", "t": {"@id": "_:b0", "@type": "http://e/t"}},
+        ],
+    }
+
+
+def test_scoped_nonnull_context_nested_type_still_compacts():
+    # control: a non-nullifying scoped context keeps the term visible for
+    # nested @type compaction (double-application is idempotent)
+    ctx = {"t": {"@id": "http://e/t", "@context": {"x": "http://e/x"}}}
+    expanded = [
+        {"@id": "http://e/rn", "http://e/t": [{"@id": "_:b0", "@type": ["http://e/t"]}]}
+    ]
+    out = api.compact(json.loads(json.dumps(expanded)), ctx)
+    assert out == {
+        "@context": ctx,
+        "@id": "http://e/rn",
+        "t": {"@id": "_:b0", "@type": "t"},
+    }

@@ -507,6 +507,15 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.dedup import semantic_dedup
+
+    # loose threshold for the same reason as embedding_cosine_pairs: the
+    # synthetic embeddings top out near cosine 0.48, and the gate should
+    # exercise both kept=true and kept=false outcomes
+    return semantic_dedup(_embs(spark, sf_dir), nlist=16, threshold_q6=250000)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyld_spark.operators.textstats import text_stats
 
@@ -840,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
+        "semantic_dedup_keep": _q_semantic_dedup,
         "html_page_triples": _q_html_triples,
         "flatten_corpus": _q_flatten_corpus,
         "text_stats": _q_text_stats,
@@ -1467,6 +1477,38 @@ def oracle_sql() -> dict[str, str]:
               FROM joined)
             SELECT DISTINCT id_a, id_b, cos_q6 FROM scored
             WHERE cos_q6 >= 250000""",
+        # SemDeDup replay: deterministic centroid prefix, argmax cell
+        # assignment, within-cell rank by (centroid-dot ASC, id ASC), drop
+        # on any earlier-ranked in-threshold neighbor
+        "semantic_dedup_keep": f"""
+            WITH qv AS (SELECT vec_id, {quant} AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cell_id, v AS cent FROM qv
+                     ORDER BY vec_id LIMIT 16),
+            assign AS (
+              SELECT vec_id, v, cell_id, cdot FROM (
+                SELECT qv.vec_id, qv.v, c.cell_id,
+                       {_IDOT("qv.v", "c.cent")} AS cdot,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                         ORDER BY {_IDOT("qv.v", "c.cent")} DESC, c.cell_id
+                       ) AS rn
+                FROM qv CROSS JOIN cent c)
+              WHERE rn = 1),
+            ranked AS (
+              SELECT vec_id, v, cell_id,
+                     CAST(row_number() OVER (PARTITION BY cell_id
+                       ORDER BY cdot ASC, vec_id ASC) AS INT) AS centroid_rank
+              FROM assign),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM (SELECT cell_id, centroid_rank, v AS cq FROM ranked) a
+              JOIN (SELECT vec_id, cell_id, centroid_rank, v AS qq
+                    FROM ranked) b
+                ON a.cell_id = b.cell_id
+               AND a.centroid_rank < b.centroid_rank
+              WHERE CAST(floor({fixed_cos} * 1000000) AS BIGINT) >= 250000)
+            SELECT r.vec_id, r.cell_id, r.centroid_rank,
+                   (d.vec_id IS NULL) AS kept
+            FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id""",
         "html_page_triples": f"""
             WITH b AS (
               SELECT CAST(doc_id AS STRING) AS did,

@@ -560,3 +560,130 @@ def duplicate_spans(
         (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_words"),
         F.count("*").alias("n_grams"),
     ).drop("span_no")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    threshold_q6: int = 990000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as dataflow: cluster
+    the corpus embeddings into ``nlist`` cells, then within each cell drop
+    every vector whose fixed-point cosine to ANY earlier-ranked cell member
+    is ≥ ``threshold_q6``/10⁶ — the paper's upper-triangular-max rule, with
+    rank = (centroid-similarity ASC, id ASC) so the kept representative of
+    each duplicate neighborhood is the one FURTHEST from its centroid
+    (the paper's "keep low centroid-similarity examples" choice).
+
+    Returns one row per input vector: (id, cell_id, centroid_rank, kept).
+
+    Scale shape: ONE broadcast-centroid argmax pass assigns cells (narrow —
+    same plan as :func:`~pyld_spark.operators.similarity.ivf_topk_quantized`);
+    one shuffle on ``cell_id`` serves both the rank window and the pairwise
+    self-join; the pairwise stage is Σ cell² — the paper's own cost model —
+    so ``nlist`` must grow with the corpus to hold cells at ~10⁴ vectors
+    (100k cells at 10⁹ docs). All similarity math is integer-quantized, so
+    the DuckDB oracle replays every decision bit-exactly. Pass
+    ``centroids=kmeans_centroids(...)`` for trained cells; the default
+    deterministic quantizer keeps the whole operator oracle-replayable.
+    """
+    from pyspark.sql import Window
+
+    from pyld_spark.operators.similarity import ivf_centroids, quantize_expr
+
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, nlist, id_col, vec_col, scale)
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qv = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        quantize_expr(F.col(vec_col), scale).alias("_vq"),
+    )
+    # winner-take-all cell assignment; the winning dot IS max(_cdot)
+    # (ties broken toward the smaller cell_id, which shares that max)
+    assign = (
+        qv.crossJoin(F.broadcast(cent))
+        .select(
+            "_vid",
+            "_vq",
+            "cell_id",
+            idot(F.col("_vq"), F.col("_cent")).alias("_cdot"),
+        )
+        .groupBy("_vid")
+        .agg(
+            F.max_by(
+                "cell_id", F.struct(F.col("_cdot"), -F.col("cell_id"))
+            ).alias("cell_id"),
+            F.max("_cdot").alias("_cdot"),
+            F.first("_vq").alias("_vq"),
+        )
+    )
+    # one explicit partitioning on cell_id serves the window AND both sides
+    # of the pairwise join below; the lazy checkpoint truncates lineage so
+    # the three consumers (output rows + both join sides) read the ranked
+    # table instead of re-running the broadcast argmax pass each
+    ranked = (
+        assign.repartition("cell_id")
+        .withColumn(
+            "centroid_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("cell_id").orderBy(
+                    F.col("_cdot").asc(), F.col("_vid").asc()
+                )
+            )
+            .cast("int"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = ranked.select(
+        "cell_id",
+        F.col("centroid_rank").alias("_rank_a"),
+        F.col("_vq").alias("_vq_a"),
+    )
+    b = ranked.select(
+        "cell_id",
+        F.col("centroid_rank").alias("_rank_b"),
+        F.col("_vid").alias("_vid_b"),
+        F.col("_vq").alias("_vq_b"),
+    )
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda x, v: x + v
+    )
+    dot = lsum(F.zip_with(F.col("_vq_a"), F.col("_vq_b"), lambda x, y: x * y))
+    na = lsum(F.transform(F.col("_vq_a"), lambda x: x * x))
+    nb = lsum(F.transform(F.col("_vq_b"), lambda x: x * x))
+    cos_q6 = F.floor(
+        dot.cast("double")
+        / F.sqrt(na.cast("double") * nb.cast("double"))
+        * 1000000
+    ).cast("bigint")
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("_rank_a") < F.col("_rank_b"))
+        .withColumn("_cos_q6", cos_q6)
+        .filter(F.col("_cos_q6") >= threshold_q6)
+        .select(F.col("_vid_b").alias("_vid"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped.withColumn("_hit", F.lit(True)), "_vid", "left"
+        )
+        .select(
+            F.col("_vid").alias(id_col),
+            "cell_id",
+            "centroid_rank",
+            F.col("_hit").isNull().alias("kept"),
+        )
+    )

@@ -183,3 +183,105 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     samples = np.frombuffer(payload[: (len(payload) // (2 * n_ch)) * 2 * n_ch],
                             dtype="<i2").reshape(-1, n_ch)
     return samples, rate
+
+
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Encode (n,H,W) uint8 (mono) or (n,H,W,3) uint8 (YUV 4:4:4) frames as
+    a YUV4MPEG2 stream — the standard uncompressed video interchange format
+    (mjpegtools/ffmpeg ``.y4m``), real end to end with zero codec deps."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 3:
+        cspace = b"Cmono"
+    elif a.ndim == 4 and a.shape[3] == 3:
+        cspace = b"C444"
+    else:
+        raise ValueError(f"unsupported frame stack shape {frames.shape}")
+    n, h, w = a.shape[:3]
+    head = b"%sW%d H%d F%d:%d Ip A1:1 %s\n" % (
+        _Y4M_SIG, w, h, fps[0], fps[1], cspace
+    )
+    parts = [head]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        if a.ndim == 3:
+            parts.append(a[i].tobytes())
+        else:  # planar: all Y, then all U, then all V
+            parts.append(np.ascontiguousarray(a[i].transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode a YUV4MPEG2 stream to ((n,H,W,C) uint8 array, (fps_num,
+    fps_den)). C420 variants are nearest-upsampled to 4:4:4 (deterministic
+    index math); 4:2:2, 16-bit and interlaced field modes raise
+    ``NotImplementedError``."""
+    data = bytes(data)
+    if not data.startswith(_Y4M_SIG):
+        raise ValueError("not a YUV4MPEG2 stream (bad signature)")
+    nl = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cspace = "420jpeg"  # the spec default when C is absent
+    interlace = "p"
+    for tok in data[len(_Y4M_SIG):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == "C":
+            cspace = val
+        elif tag == "I":
+            interlace = val
+    if w is None or h is None:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    if interlace not in ("p", "?"):
+        raise NotImplementedError(f"interlaced y4m unsupported (I{interlace})")
+    if cspace == "mono":
+        plane_dims = [(h, w)]
+    elif cspace == "444":
+        plane_dims = [(h, w)] * 3
+    elif cspace.startswith("420"):
+        if h % 2 or w % 2:
+            raise ValueError("C420 requires even dimensions")
+        plane_dims = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    else:
+        raise NotImplementedError(f"colourspace C{cspace} unsupported")
+    frame_bytes = sum(ph * pw for ph, pw in plane_dims)
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + frame_bytes > len(data):
+            raise ValueError("truncated frame payload")
+        planes = []
+        for ph, pw in plane_dims:
+            planes.append(
+                np.frombuffer(data[pos:pos + ph * pw], dtype=np.uint8)
+                .reshape(ph, pw)
+            )
+            pos += ph * pw
+        if cspace == "mono":
+            frames.append(planes[0][:, :, None])
+        else:
+            if cspace.startswith("420"):
+                planes = [planes[0]] + [
+                    p.repeat(2, axis=0).repeat(2, axis=1) for p in planes[1:]
+                ]
+            frames.append(np.stack(planes, axis=2))
+    return np.stack(frames) if frames else np.zeros(
+        (0, h, w, 1 if cspace == "mono" else 3), dtype=np.uint8
+    ), fps

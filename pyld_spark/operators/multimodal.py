@@ -230,9 +230,15 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames_stub(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
-    """Video frame-sampling kernel (STUB — needs ffmpeg). ``fake=True``
-    deterministically derives frame checksums from payload slices so batch
-    shape and fan-out (1 row in → N frames out) are real."""
+    """Video frame sampling: 1 row in → N frame rows out.
+
+    ``fake=False`` REALLY decodes ``video/x-yuv4mpeg`` payloads via
+    :func:`pyld_spark.operators.codecs.decode_y4m` (mono/444/420, the
+    standard uncompressed interchange container) and emits every
+    ``every_n``-th frame's md5 checksum; compressed containers (mp4)
+    genuinely require ffmpeg and still raise. ``fake=True`` keeps the
+    deterministic SQL-replayable double for mp4 payloads so batch shape
+    and fan-out stay gate-certified."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,13 +246,25 @@ def sample_frames_stub(media: DataFrame, every_n: int = 10, fake: bool = False) 
             for doc_id, mt, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                if mt != "video/mp4":
+                if not mt.startswith("video/"):
                     continue
                 if not fake:
+                    if mt == "video/x-yuv4mpeg":
+                        from pyld_spark.operators.codecs import decode_y4m
+
+                        frames, _fps = decode_y4m(bytes(payload or b""))
+                        for j, i in enumerate(range(0, len(frames), every_n)):
+                            rows.append(
+                                (int(doc_id), j,
+                                 hashlib.md5(frames[i].tobytes()).hexdigest()[:16])
+                            )
+                        continue
                     raise NotImplementedError(
-                        "frame sampling requires ffmpeg — not available; "
-                        "pass fake=True for the deterministic test double"
+                        "mp4 frame sampling requires ffmpeg — not available; "
+                        "use video/x-yuv4mpeg payloads or fake=True"
                     )
+                if mt != "video/mp4":
+                    continue
                 b = bytes(payload or b"")
                 n_frames = max(len(b) // (every_n * 10), 1)
                 for i in range(min(n_frames, 8)):

@@ -198,3 +198,80 @@ def test_mp4_real_decode_still_raises(spark):
     media = _real_media_df(spark)
     with pytest.raises(Exception, match="ffmpeg"):
         sample_frames_stub(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------- Y4M
+
+def test_y4m_roundtrip_mono_and_444():
+    from pyld_spark.operators.codecs import decode_y4m, encode_y4m
+
+    mono = _rng(5).integers(0, 256, size=(4, 6, 8), dtype=np.uint8)
+    got, fps = decode_y4m(encode_y4m(mono, fps=(30, 1)))
+    assert fps == (30, 1)
+    assert got.shape == (4, 6, 8, 1)
+    assert np.array_equal(got[..., 0], mono)
+
+    yuv = _rng(6).integers(0, 256, size=(3, 4, 4, 3), dtype=np.uint8)
+    got, fps = decode_y4m(encode_y4m(yuv))
+    assert fps == (25, 1)
+    assert np.array_equal(got, yuv)
+
+
+def test_y4m_420_upsamples_and_errors():
+    from pyld_spark.operators.codecs import decode_y4m
+
+    # hand-build a C420 stream: 2 frames of 4x4 Y + 2x2 U/V
+    h, w = 4, 4
+    head = b"YUV4MPEG2 W4 H4 F24:1 Ip A1:1 C420jpeg\n"
+    y = np.arange(h * w, dtype=np.uint8)
+    u = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    v = u + 100
+    frame = b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    got, fps = decode_y4m(head + frame + frame)
+    assert fps == (24, 1)
+    assert got.shape == (2, 4, 4, 3)
+    assert np.array_equal(got[0, :, :, 0], y.reshape(4, 4))
+    # nearest 2x upsample of the chroma planes
+    assert np.array_equal(got[0, :, :, 1], u.repeat(2, 0).repeat(2, 1))
+    assert np.array_equal(got[1, :, :, 2], v.repeat(2, 0).repeat(2, 1))
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"nope")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F24:1 C422\nFRAME\n" + bytes(32))
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F24:1 It C444\nFRAME\n" + bytes(48))
+    with pytest.raises(ValueError):  # truncated frame payload
+        decode_y4m(b"YUV4MPEG2 W4 H4 F24:1 Ip C444\nFRAME\n" + bytes(10))
+
+
+def test_sample_frames_real_y4m_path(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from pyld_spark.operators.codecs import encode_y4m
+    from pyld_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames_stub
+
+    stacks = {
+        i: _rng(100 + i).integers(0, 256, size=(7 + i, 6, 4, 3), dtype=np.uint8)
+        for i in range(3)
+    }
+    rows = [
+        (i, "video/x-yuv4mpeg", encode_y4m(stacks[i]), None, None)
+        for i in range(3)
+    ] + [(99, "image/png", b"not video", 1, 1)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media_type", "payload",
+                                    "width", "height"]),
+        MEDIA_SCHEMA,
+    )
+    out = sample_frames_stub(media, every_n=3, fake=False).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r["frame_checksum"] for r in out}
+    want = {}
+    for i, stack in stacks.items():
+        for j, fi in enumerate(range(0, len(stack), 3)):
+            want[(i, j)] = hashlib.md5(
+                stack[fi][:, :, :, None][..., 0].tobytes()
+            ).hexdigest()[:16]
+    assert got == want

@@ -540,6 +540,23 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir), k=8)
 
 
+#: BM25 gate query: one rare term (`dup` appears in ~5% of synthetic docs)
+#: plus two common ones, so the idf spread is actually exercised
+_BM25_GATE_TERMS = ["dup", "spark", "window"]
+
+
+def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.keywords import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyld_spark.operators.keywords import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_GATE_TERMS)
+
+
 def _pii_injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus is PII-free word soup, so the gate query
     deterministically appends PII-shaped spans derived from ``doc_id``
@@ -856,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "doc_fingerprint": _q_fingerprint,
+        "tfidf_top_terms": _q_tfidf_terms,
+        "bm25_scores": _q_bm25,
         "pii_scrub": _q_pii_scrub,
         "doc_chunks": _q_doc_chunks,
         "ann_topk_quantized": _q_ann_topk,
@@ -1199,6 +1218,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort({shingles8}), chr(0))) AS fingerprint
             FROM documents""",
+        # smoothed tf-idf: tf/doclen * (ln((N+1)/(df+1)) + 1), rounded to 6
+        # decimals BEFORE ranking so rank ties break identically in both
+        # engines (operators/keywords.py contract)
+        "tfidf_top_terms": f"""
+            WITH tfc AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+              GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf) AS doclen FROM tfc GROUP BY doc_id),
+            dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term,
+                     round((t.tf / CAST(d.doclen AS DOUBLE))
+                           * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0), 6)
+                       AS tfidf_r6
+              FROM tfc t JOIN dl d USING (doc_id) JOIN dft f USING (term)
+              CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf_r6 DESC, term ASC) AS INT) AS rank,
+                     term, tfidf_r6
+              FROM scored)
+            SELECT doc_id, rank, term, tfidf_r6 FROM ranked WHERE rank <= 5""",
+        # BM25 (k1=1.2, b=0.75) of the fixed _BM25_GATE_TERMS bag; docs with
+        # no query term are omitted (inner semantics, keywords.py)
+        "bm25_scores": f"""
+            WITH q(term) AS (VALUES {", ".join(
+                f"('{t}')" for t in sorted(_BM25_GATE_TERMS))}),
+            len AS (SELECT doc_id, len({toks}) AS doclen FROM documents),
+            a AS (SELECT avg(doclen) AS avgdl FROM len),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            tfc AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+              WHERE term IN (SELECT term FROM q)
+              GROUP BY doc_id, term),
+            dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+            scored AS (
+              SELECT t.doc_id,
+                     ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * t.tf * (1.2 + 1.0)
+                       / (t.tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * l.doclen / a.avgdl)) AS contrib
+              FROM tfc t JOIN dft f USING (term) JOIN len l USING (doc_id)
+              CROSS JOIN n CROSS JOIN a)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+                   round(sum(contrib), 6) AS bm25_r6
+            FROM scored GROUP BY doc_id""",
         # sequential scrub: each count is measured on the text as already
         # scrubbed by the earlier (more specific) patterns — mirrors the
         # PII_PATTERNS order contract in operators/textprep.py

@@ -420,6 +420,25 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase event gets the most recent
+    error event by the same user at-or-before it, nulled if staler than
+    one hour — exercises the union+window as-of join (backward, tie on
+    event_id, tolerance) end to end. The oracle is an implementation-
+    independent replay (candidate theta-join + row_number pick)."""
+    from pyld_spark.operators.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value")
+    return asof_join(
+        purchases, errors, by=("user_id",), tie_col="event_id",
+        suffix="_err", tolerance_seconds=3600.0,
+    )
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the raw event stream, one row
     per session with exact integer-microsecond boundary arithmetic."""
@@ -863,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "event_sessions": _q_event_sessions,
+        "asof_attribution": _q_asof_attribution,
         "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
@@ -1871,6 +1891,33 @@ def oracle_sql() -> dict[str, str]:
             FROM cum""",
         # lag + running-sum-of-boundaries sessionization; integer
         # microseconds so sub-second gaps round identically in any engine
+        # implementation-independent as-of replay: theta-join candidates,
+        # row_number pick (ts DESC, event_id DESC = the operator's tie rule),
+        # exact integer-microsecond tolerance
+        "asof_attribution": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'error'),
+            cand AS (
+              SELECT l.event_id AS lid, r.ts AS rts, r.event_id AS rid,
+                     r.value AS rval,
+                     row_number() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY r.ts DESC, r.event_id DESC) AS rn
+              FROM l JOIN r
+                ON r.user_id = l.user_id AND r.ts <= l.ts),
+            best AS (SELECT * FROM cand WHERE rn = 1)
+            SELECT l.user_id, l.ts, l.event_id, l.value,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(b.rts) <= 3600000000
+                        THEN b.rts END AS ts_err,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(b.rts) <= 3600000000
+                        THEN b.rid END AS event_id_err,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(b.rts) <= 3600000000
+                        THEN b.rval END AS value_err
+            FROM l LEFT JOIN best b ON b.lid = l.event_id""",
         "event_sessions": """
             WITH flagged AS (
               SELECT user_id, event_id, ts,

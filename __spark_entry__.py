@@ -439,6 +439,32 @@ def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_purchases_in_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases that fall inside an error-burst session
+    (gap-30min sessionization of error events, then a bin-bucketed
+    point-in-interval join — no theta join in the plan). The oracle
+    replays sessionization + a plain BETWEEN join."""
+    from pyld_spark.operators.intervals import interval_join
+    from pyld_spark.operators.sessions import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    # pad each error session by ±1 h ("blast radius") so the interval side
+    # has real extent — raw error sessions are mostly single events
+    error_sessions = session_stats(
+        events.filter(F.col("event_type") == "error"), gap_seconds=1800
+    ).select(
+        "user_id", "session_seq",
+        (F.col("started") - F.expr("INTERVAL 3600 SECONDS")).alias("started"),
+        (F.col("ended") + F.expr("INTERVAL 3600 SECONDS")).alias("ended"),
+    )
+    return interval_join(
+        purchases, error_sessions, bin_seconds=1800,
+        interval_cols=("session_seq", "started", "ended"),
+    )
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the raw event stream, one row
     per session with exact integer-microsecond boundary arithmetic."""
@@ -883,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "event_sessions": _q_event_sessions,
         "asof_attribution": _q_asof_attribution,
+        "purchases_in_error_sessions": _q_purchases_in_error_sessions,
         "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
@@ -1918,6 +1945,36 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN epoch_us(l.ts) - epoch_us(b.rts) <= 3600000000
                         THEN b.rval END AS value_err
             FROM l LEFT JOIN best b ON b.lid = l.event_id""",
+        # range-join replay: re-derive error sessions with the same two
+        # window functions, then a plain BETWEEN theta join (fine at oracle
+        # scale; the Spark side must avoid exactly this shape)
+        "purchases_in_error_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WHERE event_type = 'error'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - 1 AS session_seq
+              FROM flagged),
+            sess AS (
+              SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                     min(ts) - INTERVAL 3600 SECOND AS started,
+                     max(ts) + INTERVAL 3600 SECOND AS ended
+              FROM tagged GROUP BY user_id, session_seq)
+            SELECT p.user_id, p.ts, p.event_id, p.value,
+                   s.session_seq, s.started, s.ended
+            FROM (SELECT user_id, ts, event_id, value FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN sess s
+              ON s.user_id = p.user_id AND p.ts BETWEEN s.started AND s.ended""",
         "event_sessions": """
             WITH flagged AS (
               SELECT user_id, event_id, ts,

@@ -465,6 +465,27 @@ def _q_purchases_in_error_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute/hour/day rollups per
+    event_type, each coarser grain re-aggregated from the finer one (one
+    raw scan). The oracle aggregates every grain flat from raw events."""
+    from pyld_spark.operators.rollup import time_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(events, grains=("minute", "hour", "day"))
+
+
+def _q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k=64) of users per event_type — exact
+    when a group has <64 distinct users (sf0.001: 15), estimated from the
+    64th-minimum hash when it has more (sf0.01: 150), so both sketch
+    regimes are gate-certified."""
+    from pyld_spark.operators.sketches import kmv_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(events, "user_id", by=("event_type",), k=64)
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the raw event stream, one row
     per session with exact integer-microsecond boundary arithmetic."""
@@ -910,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "asof_attribution": _q_asof_attribution,
         "purchases_in_error_sessions": _q_purchases_in_error_sessions,
+        "event_rollup": _q_event_rollup,
+        "distinct_users_kmv": _q_distinct_users_kmv,
         "lang_stratified_sample": _q_lang_stratified,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
@@ -1945,6 +1968,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN epoch_us(l.ts) - epoch_us(b.rts) <= 3600000000
                         THEN b.rval END AS value_err
             FROM l LEFT JOIN best b ON b.lid = l.event_id""",
+        # hypertable rollup replay: each grain aggregated FLAT from raw
+        # events (the Spark side must cascade instead — that's the point)
+        "event_rollup": """
+            SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY bucket, event_type
+            UNION ALL
+            SELECT 'hour', date_trunc('hour', ts), event_type,
+                   CAST(count(*) AS BIGINT), round(sum(value), 4),
+                   min(value), max(value)
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), event_type,
+                   CAST(count(*) AS BIGINT), round(sum(value), 4),
+                   min(value), max(value)
+            FROM events GROUP BY 2, 3""",
+        # KMV sketch replay: 48-bit md5 hash, k smallest distinct hashes,
+        # exact count when under-full else (k-1)/f_k
+        "distinct_users_kmv": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 12)) AS BIGINT) AS hh
+              FROM events),
+            ranked AS (
+              SELECT event_type, hh,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hh ASC) AS rn
+              FROM h)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_hashes,
+                   max(hh) AS kth_hash,
+                   round(CASE WHEN count(*) < 64
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE CAST(63 AS DOUBLE)
+                                   * CAST(281474976710656 AS DOUBLE)
+                                   / CAST(max(hh) AS DOUBLE) END,
+                         4) AS est_distinct
+            FROM ranked WHERE rn <= 64 GROUP BY event_type""",
         # range-join replay: re-derive error sessions with the same two
         # window functions, then a plain BETWEEN theta join (fine at oracle
         # scale; the Spark side must avoid exactly this shape)

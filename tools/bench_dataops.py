@@ -47,6 +47,27 @@ def synth_docs(spark, n_docs: int):
     )
 
 
+def synth_events(spark, n_events: int):
+    """Deterministic event stream: ~1000 users, 5 event types, timestamps
+    scattered over 30 days (so sessions, rollup buckets, and as-of
+    candidates all have realistic density)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestampadd(SECOND, pmod(hash(id), 2592000),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+        F.pmod(F.hash("id", F.lit(1)), F.lit(1000)).alias("user_id"),
+        F.expr(
+            "element_at(array('click','view','purchase','error','signup'),"
+            " cast(pmod(hash(id, 2), 5) + 1 as int))"
+        ).alias("event_type"),
+        (F.pmod(F.hash("id", F.lit(3)), F.lit(10000)) / 100.0).alias("value"),
+    )
+
+
 def synth_vecs(spark, n_vecs: int, dim: int = 64):
     from pyspark.sql import functions as F
 
@@ -170,6 +191,49 @@ def main() -> None:
         F.concat(F.lit("C"), F.pmod(F.hash("id"), F.lit(8))).alias("cls"),
     )
     timed("entailed_types(depth-8 chain)", entailed_types(facts, onto), n_docs * 2)
+
+    # temporal + sketch + keyword ops (round-4 tail additions)
+    from pyld_spark.operators.intervals import interval_join
+    from pyld_spark.operators.keywords import bm25_scores, tfidf_top_terms
+    from pyld_spark.operators.rollup import time_rollup
+    from pyld_spark.operators.sessions import session_stats
+    from pyld_spark.operators.sketches import kmv_distinct
+    from pyld_spark.operators.temporal import asof_join
+
+    n_events = n_docs * 10
+    events = synth_events(spark, n_events).localCheckpoint()
+    _ = events.count()
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value")
+    timed(
+        "asof_join(purchase<-error)",
+        asof_join(purchases, errors, by=("user_id",), tie_col="event_id",
+                  tolerance_seconds=3600.0),
+        n_events,
+    )
+    error_sessions = session_stats(
+        events.where(F.col("event_type") == "error"), gap_seconds=3600
+    ).select(
+        "user_id", "session_seq",
+        (F.col("started") - F.expr("INTERVAL 600 SECONDS")).alias("started"),
+        (F.col("ended") + F.expr("INTERVAL 600 SECONDS")).alias("ended"),
+    )
+    timed(
+        "interval_join(purchases-in-error-sessions)",
+        interval_join(purchases, error_sessions, bin_seconds=3600,
+                      interval_cols=("session_seq",)),
+        n_events,
+    )
+    timed("time_rollup(minute/hour/day)",
+          time_rollup(events, grains=("minute", "hour", "day")), n_events)
+    timed("kmv_distinct(users-per-type,k=256)",
+          kmv_distinct(events, "user_id", by=("event_type",), k=256),
+          n_events)
+    timed("tfidf_top_terms(k=5)", tfidf_top_terms(docs, k=5), n_docs)
+    timed("bm25_scores(3 terms)",
+          bm25_scores(docs, ["w1", "w2", "s1"]), n_docs)
 
     spark.stop()
 

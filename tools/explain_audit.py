@@ -173,6 +173,44 @@ def main() -> None:
     _ = sameas_edges  # plan shape identical to a filtered projection
     _ = RDF_TYPE  # imported for documentation of the filter constant
 
+    from pyld_spark.operators.intervals import interval_join
+    from pyld_spark.operators.keywords import bm25_scores, tfidf_top_terms
+    from pyld_spark.operators.rollup import time_rollup
+    from pyld_spark.operators.sessions import session_stats
+    from pyld_spark.operators.sketches import kmv_distinct
+    from pyld_spark.operators.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value")
+    plans.update({
+        "asof_join (union + ONE window exchange, zero Join nodes — the "
+        "range-join encoding would be a per-key nested loop)":
+            asof_join(purchases, errors, by=("user_id",),
+                      tie_col="event_id", tolerance_seconds=3600.0),
+        "interval_join (bin-exploded intervals, shuffled hash EQUI-join "
+        "on (key, bin) + exact range post-filter; no "
+        "BroadcastNestedLoopJoin)":
+            interval_join(purchases, session_stats(errors),
+                          bin_seconds=1800, interval_cols=("session_seq",)),
+        "time_rollup (raw scan ONCE into the checkpointed finest grain; "
+        "coarser grains re-aggregate bucket-sized inputs)":
+            time_rollup(events, grains=("minute", "hour", "day")),
+        "kmv_distinct (map-side-combined (key,hash) agg → WindowGroupLimit "
+        "k-smallest cut → k-row aggregate)":
+            kmv_distinct(events, "user_id", by=("event_type",), k=64),
+        "tfidf_top_terms (one corpus shuffle for (doc,term) counts; "
+        "vocab-sized idf broadcast; doclen+rank share ONE doc exchange "
+        "with a WindowGroupLimit top-k cut)":
+            tfidf_top_terms(documents, k=5),
+        "bm25_scores (query terms are a plan literal pushed below the "
+        "postings shuffle; doclen is a pure scan projection; avgdl/N are "
+        "1-row broadcast scalars)":
+            bm25_scores(documents, ["the", "spark"]),
+    })
+
     out = ["# Physical plans (explain formatted)\n",
            f"Generated by tools/explain_audit.py on {sf_dir}.\n"]
     for title, df in plans.items():

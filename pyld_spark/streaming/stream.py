@@ -258,3 +258,65 @@ def stream_triples(
     if output_path is not None:
         return writer.format("parquet").option("path", output_path).start()
     return writer.format("memory").queryName("stream_triples").start()
+
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+#: grain -> window duration accepted by F.window
+_GRAIN_WINDOWS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
+
+
+def stream_event_rollup(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    grain: str = "minute",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    query_name: str = "stream_event_rollup",
+    max_files_per_trigger: int = 4,
+):
+    """The continuous-aggregate twin of operators/rollup.time_rollup: a
+    watermarked tumbling-window aggregate in append mode, so each bucket
+    row is emitted exactly once — when the watermark passes its window end
+    — with the same (bucket, dims…, n_events, sum_value, min_value,
+    max_value) schema as the batch finest grain (sum rounded identically).
+
+    Append-mode caveat the parity test accounts for: buckets newer than
+    (max event time − watermark) are still open when a replay drains, so
+    they are withheld, not wrong — a later trigger with later data emits
+    them. Returns the StreamingQuery over an in-memory sink."""
+    if grain not in _GRAIN_WINDOWS:
+        raise ValueError(f"grain must be one of {sorted(_GRAIN_WINDOWS)}")
+    events = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, _GRAIN_WINDOWS[grain]).alias("_w"), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("_w.start").alias("bucket"), *dims,
+            "n_events", "sum_value", "min_value", "max_value",
+        )
+    )
+    return (
+        agg.writeStream.option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -465,6 +465,18 @@ def _q_purchases_in_error_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts over the co-mention graph (canonical
+    a<b<c two-join enumeration — each triangle produced once)."""
+    from pyld_spark.operators.graph_stats import comention_edges, triangle_counts
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    linked = link_entities(extract_mentions(t))
+    return triangle_counts(comention_edges(linked)).select(
+        F.col("node").alias("entity_iri"), "n_triangles")
+
+
 def _q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: minute/hour/day rollups per
     event_type, each coarser grain re-aggregated from the finer one (one
@@ -931,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "asof_attribution": _q_asof_attribution,
         "purchases_in_error_sessions": _q_purchases_in_error_sessions,
+        "entity_triangles": _q_entity_triangles,
         "event_rollup": _q_event_rollup,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "lang_stratified_sample": _q_lang_stratified,
@@ -1968,6 +1981,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN epoch_us(l.ts) - epoch_us(b.rts) <= 3600000000
                         THEN b.rval END AS value_err
             FROM l LEFT JOIN best b ON b.lid = l.event_id""",
+        # triangle replay: canonical a<b<c edges from per-turn co-mentions,
+        # two-join enumeration, explode via 3-way UNION ALL
+        "entity_triangles": f"""{_T_CTE}, {mentions_cte},
+            per_turn AS MATERIALIZED (
+              SELECT DISTINCT conv_id, turn_idx, entity_iri FROM linked),
+            canon AS MATERIALIZED (
+              SELECT DISTINCT least(a.entity_iri, b.entity_iri) AS lo,
+                     greatest(a.entity_iri, b.entity_iri) AS hi
+              FROM per_turn a
+              JOIN per_turn b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.entity_iri < b.entity_iri),
+            tri AS MATERIALIZED (
+              SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM canon e1
+              JOIN canon e2 ON e2.lo = e1.hi
+              JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+            member AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT node AS entity_iri,
+                   CAST(count(*) AS BIGINT) AS n_triangles
+            FROM member GROUP BY node""",
         # hypertable rollup replay: each grain aggregated FLAT from raw
         # events (the Spark side must cascade instead — that's the point)
         "event_rollup": """

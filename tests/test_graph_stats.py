@@ -116,3 +116,48 @@ def test_comention_edges(spark):
     )
     got = {(r["src"], r["dst"]) for r in comention_edges(linked).collect()}
     assert got == {("E1", "E2"), ("E2", "E1"), ("E2", "E3"), ("E3", "E2")}
+
+
+def test_triangle_counts_known_graph(spark):
+    from pyld_spark.operators.graph_stats import triangle_counts
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant edge
+    # and a disconnected triangle {x,y,z}
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("x", "y"), ("y", "z"), ("z", "x")]
+    # feed both orientations + duplicates: canonicalization must absorb them
+    rows = edges + [(b, a) for a, b in edges] + edges[:3]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "x": 1, "y": 1, "z": 1}
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    import itertools
+
+    from pyld_spark.operators.graph_stats import triangle_counts
+
+    import numpy as np
+    rng = np.random.RandomState(11)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = {tuple(sorted((nodes[rng.randint(30)], nodes[rng.randint(30)])))
+             for _ in range(140)}
+    edges = [(a, b) for a, b in edges if a != b]
+    eset = set(edges)
+    expected = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+def test_triangle_counts_self_loops_ignored(spark):
+    from pyld_spark.operators.graph_stats import triangle_counts
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}

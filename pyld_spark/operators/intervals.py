@@ -47,12 +47,23 @@ def interval_join(
     by: tuple[str, ...] = ("user_id",),
     bin_seconds: int = 3600,
     interval_cols: tuple[str, ...] | None = None,
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Inner-join each point row to every interval row (same ``by`` keys)
     whose ``[start_col, end_col]`` range contains its ``ts_col``. Output:
-    all point columns + the requested interval payload columns."""
+    all point columns + the requested interval payload columns.
+
+    ``max_bins_per_interval`` is the mis-sizing guard: an interval
+    spanning more than that many bins (a year-long interval at 1-second
+    bins would explode into 3×10^7 rows — executor-killing amplification
+    from ONE bad row) fails the job with a clear message instead of
+    silently materializing the blow-up. Raise the limit or widen
+    ``bin_seconds`` deliberately if such intervals are real.
+    """
     if bin_seconds <= 0:
         raise ValueError("bin_seconds must be positive")
+    if max_bins_per_interval <= 0:
+        raise ValueError("max_bins_per_interval must be positive")
     if interval_cols is None:
         skip = set(by) | {start_col, end_col}
         interval_cols = tuple(c for c in intervals.columns if c not in skip)
@@ -74,17 +85,32 @@ def interval_join(
 
     p = points.withColumn("_iv_num", p_num).withColumn(
         "_iv_bin", F.floor(F.col("_iv_num") / width))
+    span_bins = (
+        F.floor(F.col("_iv_end") / width) - F.floor(F.col("_iv_start") / width)
+    )
+    # the guard lives INSIDE the exploded expression (a separate guard
+    # column would be dead code and pruned by Catalyst before it ran)
+    bins = F.when(
+        span_bins < F.lit(int(max_bins_per_interval)),
+        F.sequence(
+            F.floor(F.col("_iv_start") / width),
+            F.floor(F.col("_iv_end") / width),
+        ),
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(
+                f"interval_join: an interval spans more than "
+                f"{max_bins_per_interval} bins of {bin_seconds}s — widen "
+                f"bin_seconds or raise max_bins_per_interval (interval "
+                f"start micros/value: "),
+            F.col("_iv_start").cast("string"), F.lit(")"),
+        )).cast("array<bigint>")
+    )
     i = (
         intervals
         .withColumn("_iv_start", s_num)
         .withColumn("_iv_end", e_num)
-        .withColumn(
-            "_iv_bin",
-            F.explode(F.sequence(
-                F.floor(F.col("_iv_start") / width),
-                F.floor(F.col("_iv_end") / width),
-            )),
-        )
+        .withColumn("_iv_bin", F.explode(bins))
         .select(*by, "_iv_bin", "_iv_start", "_iv_end", *interval_cols)
     )
 

@@ -98,3 +98,19 @@ def test_plan_is_equi_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_long_interval_guard(spark):
+    from pyld_spark.operators.intervals import interval_join
+
+    p = spark.createDataFrame([(1, _ts(5), "a")], ["user_id", "ts", "tag"])
+    # a ~70-day interval at 60 s bins = ~100k bins > the 1k guard
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(100_000), 1)], ["user_id", "started", "ended", "iv_id"])
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(p, iv, bin_seconds=60,
+                      max_bins_per_interval=1000).collect()
+    # same data passes with a wide-enough bin
+    rows = interval_join(p, iv, bin_seconds=86400 * 7,
+                         max_bins_per_interval=1000).collect()
+    assert len(rows) == 1

@@ -125,11 +125,38 @@ def compact_iri(
         default_language = (active.default_language or "@none").lower()
 
         containers: list = []
-        type_language = "@language"
-        type_language_value = "@null"
 
         if isinstance(value, dict) and "@index" in value and not is_graph_object(value):
             containers += ["@index", "@index@set"]
+        # a framing @preserve wrapper is transparent for container
+        # selection (reference jsonld.py:5186-5188)
+        if isinstance(value, dict) and "@preserve" in value:
+            value = value["@preserve"][0]
+        # most-specific container candidates derive from the VALUE SHAPE
+        # alone, BEFORE the reverse/list branching (reference
+        # jsonld.py:5190-5205) — in particular a reverse node reference
+        # still offers the @id/@type-map containers, so a plain term with
+        # @container @id compacts a reverse property and keys its id map
+        if is_graph_object(value):
+            if "@index" in value:
+                containers += ["@graph@index", "@graph@index@set",
+                               "@index", "@index@set"]
+            if "@id" in value:
+                containers += ["@graph@id", "@graph@id@set"]
+            containers += ["@graph", "@graph@set", "@set"]
+            if "@index" not in value:
+                containers += ["@graph@index", "@graph@index@set"]
+            if "@id" not in value:
+                containers += ["@graph@id", "@graph@id@set"]
+        elif isinstance(value, dict) and not is_value_object(value):
+            # object non-value values (node references, @list objects) —
+            # a None value (compacting a bare IRI like an @type entry)
+            # gets no extra containers (reference jsonld.py:5204-5205)
+            containers += ["@id", "@id@set", "@type", "@set@type"]
+
+        type_language = "@language"
+        type_language_value = "@null"
+
         if reverse:
             type_language = "@type"
             type_language_value = "@reverse"
@@ -172,19 +199,6 @@ def compact_iri(
                 type_language_value = common_type
             else:
                 type_language_value = common_language
-        elif is_graph_object(value):
-            if "@index" in value:
-                containers += ["@graph@index", "@graph@index@set"]
-            if "@id" in value:
-                containers += ["@graph@id", "@graph@id@set"]
-            containers += ["@graph", "@graph@set", "@set"]
-            if "@index" not in value:
-                containers += ["@graph@index", "@graph@index@set"]
-            if "@id" not in value:
-                containers += ["@graph@id", "@graph@id@set"]
-            containers += ["@index", "@index@set"]
-            type_language = "@type"
-            type_language_value = "@id"
         else:
             if is_value_object(value):
                 if "@direction" in value and "@index" not in value:
@@ -199,13 +213,6 @@ def compact_iri(
                     type_language = "@type"
                     type_language_value = value["@type"]
             else:
-                # @id/@id@set/@type/@set@type containers only for OBJECT
-                # non-value values (reference jsonld.py:5204-5205) — a None
-                # value (compacting a bare IRI like an @type entry) gets no
-                # extra containers, so @id/@type-container terms are not
-                # selected for it
-                if isinstance(value, dict):
-                    containers += ["@id", "@id@set", "@type", "@set@type"]
                 type_language = "@type"
                 type_language_value = "@id"
             containers.append("@set")

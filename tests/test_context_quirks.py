@@ -310,3 +310,42 @@ def test_scoped_nonnull_context_nested_type_still_compacts():
         "@id": "http://e/rn",
         "t": {"@id": "_:b0", "@type": "t"},
     }
+
+
+def test_reverse_node_reference_selects_id_container_term():
+    # soak-found (round-4 tail): container candidates derive from the value
+    # shape BEFORE the reverse branch (reference jsonld.py:5190-5205), so a
+    # plain term with @container @id compacts a reverse property AND keys
+    # its id map; we previously fell back to the full IRI inside @reverse
+    ctx = [{"t": {"@container": "@id"}, "@vocab": "http://e/"}]
+    doc = {"@context": {"@vocab": "http://e/"},
+           "@reverse": {"t": {"@id": "http://e/rn"}}}
+    out = api.compact(json.loads(json.dumps(doc)), ctx)
+    assert out == {
+        "@context": ctx[0],
+        "@reverse": {"t": {"http://e/rn": {}}},
+    }
+
+
+def test_reverse_node_reference_type_container_term():
+    # same shape through the @type-map container path
+    ctx = [{"t": {"@container": "@type"}, "@vocab": "http://e/"}]
+    doc = {"@context": {"@vocab": "http://e/"},
+           "@reverse": {"t": {"@id": "http://e/rn", "@type": "http://e/T"}}}
+    out = api.compact(json.loads(json.dumps(doc)), ctx)
+    # the single remaining @id entry recompacts to a bare string
+    # (reference type-map single-@id recompaction, jsonld.py:1934-1943)
+    assert out == {
+        "@context": ctx[0],
+        "@reverse": {"t": {"T": "http://e/rn"}},
+    }
+
+
+def test_reverse_term_still_preferred_over_plain_container_term():
+    # a true @reverse term must still win (and lift the property out of
+    # the @reverse map) even when an @id-container term also matches
+    ctx = [{"r": {"@reverse": "http://e/t"}, "@vocab": "http://e/"}]
+    doc = {"@context": {"@vocab": "http://e/"},
+           "@reverse": {"t": {"@id": "http://e/rn"}}}
+    out = api.compact(json.loads(json.dumps(doc)), ctx)
+    assert out == {"@context": ctx[0], "r": {"@id": "http://e/rn"}}

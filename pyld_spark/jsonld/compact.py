@@ -436,22 +436,19 @@ def compact(
         return compact_value(active, active_property, element)
 
     if is_list_object(element):
-        # reached for lists nested inside lists (the property loop unwraps
-        # top-level list objects itself); container re-looked-up post-scope
-        inner = compact(
-            active, active_property, element["@list"], compact_arrays, ordered,
-            base_url, loader, link_memo,
-        )
-        if not isinstance(inner, list):
-            inner = [inner]
+        # a nested list whose active property has a @list container
+        # compacts to the bare inner array (reference jsonld.py:1485-1494);
+        # every OTHER nested list falls through to generic node-object
+        # processing, where the '@list' key routes through the property
+        # loop — items compact under the '@list' alias (NOT the outer
+        # term, so its @type coercion does not apply — soak-found, round 4)
         ldefn = active.terms.get(active_property)
-        container = ldefn.container if ldefn is not None else frozenset()
-        if "@list" in container:
-            return inner
-        wrapped = {compact_iri(active, "@list", vocab=True): inner}
-        if "@index" in element:
-            wrapped[compact_iri(active, "@index", vocab=True)] = element["@index"]
-        return wrapped
+        lcontainer = ldefn.container if ldefn is not None else frozenset()
+        if "@list" in lcontainer:
+            return compact(
+                active, active_property, element["@list"], compact_arrays,
+                ordered, base_url, loader, link_memo,
+            )
 
     # context for @type VALUES and type-scoped-context definition lookups —
     # post property-scoped application, pre revert (reference jsonld.py:1502)
@@ -472,18 +469,33 @@ def compact(
     inside_reverse = active_property == "@reverse"
     result: dict = {}
     if link_memo is not None:
-        # @link framing: a shared/cyclic framed node compacts ONCE; later
-        # (possibly mid-build) occurrences return the same output object,
+        # @link framing: a shared/cyclic framed node compacts ONCE PER
+        # COMPACTION ENVIRONMENT; a later occurrence under the same active/
+        # input context and property returns the same output object,
         # reproducing the input's sharing instead of recursing forever.
-        # The body below fills `result` in place and returns it, so
-        # registering before the property loop closes cycles.
-        memo_key = id(element)
+        # The environment is part of the key because the reference
+        # recomputes every occurrence (its link cache is dead code), so a
+        # node shared between two properties with different scoped
+        # contexts legitimately compacts DIFFERENTLY at each site (e.g. a
+        # term carrying ``"@context": null`` leaves the embedded copy's
+        # @type as a full IRI — found by the round-4 link soak).
+        # Cycle-cutting stays keyed by element identity alone: if this
+        # element is already being compacted anywhere up the stack, return
+        # that in-flight result (the reference RecursionErrors on every
+        # cyclic input, so which environment wins there is unobservable).
+        in_flight = link_memo.setdefault("__stack__", {})
+        mid = id(element)
+        if mid in in_flight:
+            return in_flight[mid]
+        memo_key = (mid, id(active), id(input_ctx), active_property)
         cached = link_memo.get(memo_key)
         if cached is not None:
             return cached
         link_memo[memo_key] = result
-        # keep elements alive: id() keys are only stable while they exist
-        link_memo.setdefault("__pins__", []).append(element)
+        in_flight[mid] = result
+        # keep elements/contexts alive: id() keys are only stable while
+        # the objects exist
+        link_memo.setdefault("__pins__", []).append((element, active, input_ctx))
 
     if "@type" in element:
         # apply type-scoped contexts in sorted compacted-term order; the
@@ -585,11 +597,12 @@ def compact(
             result[alias] = compacted
             continue
 
-        if is_keyword(expanded_property):
-            # keywords other than @graph/@list/@included (handled above):
-            # ALIAS the key and add the value AS-IS — no value compaction,
-            # add_value list-unwrapping semantics (reference
-            # jsonld.py:1656-1666)
+        if is_keyword(expanded_property) and expanded_property != "@list":
+            # keywords other than @graph/@list/@included (@graph/@included
+            # handled above, @list flows into the regular property loop like
+            # the reference's): ALIAS the key and add the value AS-IS — no
+            # value compaction, add_value list-unwrapping semantics
+            # (reference jsonld.py:1656-1666)
             alias = compact_iri(active, expanded_property)
             vals = (
                 expanded_value if isinstance(expanded_value, list)
@@ -643,17 +656,19 @@ def compact(
             if is_list_object(expanded_item):
                 if not isinstance(compacted_item, list):
                     compacted_item = [compacted_item]
-                if "@list" not in container:
-                    alias = compact_iri(active, "@list", vocab=True)
-                    wrapped = {alias: compacted_item}
-                    if "@index" in expanded_item:
-                        idx_alias = compact_iri(active, "@index", vocab=True)
-                        wrapped[idx_alias] = expanded_item["@index"]
-                    compacted_item = wrapped
-                    _add_compacted(nest_result, item_active_property, compacted_item, as_array)
-                else:
+                if "@list" in container:
                     nest_result[item_active_property] = compacted_item
-                continue
+                    continue
+                # wrap with the @list alias, then FALL THROUGH — a wrapped
+                # list item still participates in container maps and the
+                # final-add arrayify rule (reference jsonld.py:1748-1763
+                # does not continue here; soak-found, round 4)
+                alias = compact_iri(active, "@list", vocab=True)
+                wrapped = {alias: compacted_item}
+                if "@index" in expanded_item:
+                    idx_alias = compact_iri(active, "@index", vocab=True)
+                    wrapped[idx_alias] = expanded_item["@index"]
+                compacted_item = wrapped
 
             if is_graph_object(expanded_item):
                 compacted_item = _compact_graph_item(
@@ -674,13 +689,13 @@ def compact(
             if container & {"@language", "@index", "@id", "@type"} and "@graph" not in container:
                 map_object = nest_result.setdefault(item_active_property, {})
                 if "@language" in container:
-                    key = expanded_item.get("@language", "@none")
+                    key = expanded_item.get("@language")
                     if is_value_object(expanded_item):
                         compacted_item = expanded_item["@value"] if "@language" in expanded_item or set(expanded_item) <= {"@value", "@language"} else compacted_item
                 elif "@index" in container:
                     index_key = idef.index if idef is not None and idef.index else "@index"
                     if index_key == "@index":
-                        key = expanded_item.get("@index", "@none")
+                        key = expanded_item.get("@index")
                         if isinstance(compacted_item, dict):
                             idx_alias = compact_iri(active, "@index", vocab=True)
                             compacted_item.pop(idx_alias, None)
@@ -691,7 +706,7 @@ def compact(
                                     compacted_item = compacted_item[only]
                     else:
                         prop_iri = active.terms[index_key].iri if index_key in active.terms else index_key
-                        key = "@none"
+                        key = None
                         if isinstance(compacted_item, dict) and index_key in compacted_item:
                             kv = arrayify(compacted_item[index_key])
                             if kv and isinstance(kv[0], str):
@@ -703,14 +718,14 @@ def compact(
                                     compacted_item.pop(index_key)
                 elif "@id" in container:
                     id_alias = compact_iri(active, "@id", vocab=True)
-                    key = "@none"
+                    key = None
                     if isinstance(compacted_item, dict) and id_alias in compacted_item:
                         key = compacted_item.pop(id_alias)
                     if isinstance(compacted_item, dict) and not compacted_item:
                         compacted_item = {}
                 else:  # @type container
                     type_alias = compact_iri(active, "@type", vocab=True)
-                    key = "@none"
+                    key = None
                     if isinstance(compacted_item, dict) and type_alias in compacted_item:
                         types = arrayify(compacted_item[type_alias])
                         if types:
@@ -732,8 +747,12 @@ def compact(
                             compact_arrays, ordered, base_url, loader, link_memo,
                         )
                         compacted_item = recompacted
-                if key is None:
-                    key = "@none"
+                if not key:
+                    # missing map keys compact the @none KEYWORD, so a term
+                    # aliasing @none wins over the literal (reference
+                    # jsonld.py:1948 via the keyword-alias fast path in
+                    # _compact_iri — soak-found, round 4 link axis)
+                    key = compact_iri(active, "@none")
                 _add_compacted(map_object, key, compacted_item, as_array)
                 continue
 
@@ -751,8 +770,17 @@ def compact(
                 and not (container & {"@set", "@list"})
             ):
                 compacted_item = compacted_item[0]
+            # reference's final-add arrayify rule (jsonld.py:1962-1969):
+            # a @list-container property and the '@list'/'@graph' keys
+            # themselves always hold arrays
+            if "@list" in container or expanded_property in ("@list", "@graph"):
+                as_array = True
             _add_compacted(nest_result, item_active_property, compacted_item, as_array)
 
+    if link_memo is not None:
+        # this element is no longer being built — a later occurrence under
+        # a DIFFERENT environment must recompute, not alias this result
+        link_memo["__stack__"].pop(id(element), None)
     return result
 
 
@@ -763,14 +791,14 @@ def _compact_graph_item(
     graph_alias = compact_iri(active, "@graph", vocab=True)
     if "@graph" in container and "@id" in container:
         map_object = nest_result.setdefault(item_active_property, {})
-        key = compact_iri(active, expanded_item.get("@id", "@none"),
-                          vocab=expanded_item.get("@id") is None)
-        if "@id" not in expanded_item:
-            key = "@none"
+        # the reference keys graph-id maps on the RAW expanded @id (no
+        # compaction — jsonld.py:1788-1791); only a MISSING id compacts the
+        # @none keyword (term aliases win — soak-found, round 4)
+        key = expanded_item.get("@id") or compact_iri(active, "@none")
         _add_compacted(map_object, key, compacted_item, as_array)
     elif "@graph" in container and "@index" in container and _is_simple_graph(expanded_item):
         map_object = nest_result.setdefault(item_active_property, {})
-        key = expanded_item.get("@index", "@none")
+        key = expanded_item.get("@index") or compact_iri(active, "@none")
         _add_compacted(map_object, key, compacted_item, as_array)
     elif "@graph" in container and _is_simple_graph(expanded_item):
         if isinstance(compacted_item, list) and len(compacted_item) > 1:

@@ -349,3 +349,155 @@ def test_reverse_term_still_preferred_over_plain_container_term():
            "@reverse": {"t": {"@id": "http://e/rn"}}}
     out = api.compact(json.loads(json.dumps(doc)), ctx)
     assert out == {"@context": ctx[0], "r": {"@id": "http://e/rn"}}
+
+
+def test_link_memo_respects_scoped_context_per_occurrence():
+    # soak-found (round-4 link axis): the @link compaction memo was keyed
+    # by node identity alone, so a node shared between occurrences reused
+    # the FIRST occurrence's compaction even when the second sat under a
+    # term carrying "@context": null — the reference recomputes every
+    # occurrence (its link cache is dead code), emitting the embedded
+    # copy's @type as a full IRI
+    ctx = [{"t": {"@id": "http://e/t", "@context": None}}]
+    doc = {"@context": ctx,
+           "@type": "t", "@reverse": {"t": {"@id": "http://e/rn"}}}
+    out = api.link(json.loads(json.dumps(doc)), json.loads(json.dumps(ctx)))
+    assert out == {
+        "@context": {"t": {"@id": "http://e/t", "@context": None}},
+        "@graph": [
+            {"@type": "t"},
+            {"@id": "http://e/rn", "t": {"@type": "http://e/t"}},
+        ],
+    }
+
+
+def test_link_shared_node_under_two_scoped_contexts():
+    # a node linked under two different properties compacts differently at
+    # each site when one property nullifies the context.  The node map
+    # merges the shared node first, so under the NULLIFIED scope ("a") its
+    # expanded @type is a pair of full IRIs (the null-scope occurrence
+    # expanded "t" vocab/base-relative), while under the normal scope ("b")
+    # the in-context IRI compacts back to the term "t".  Expected output
+    # pinned against reference jsonld.link with an identical base.
+    base = "http://example.org/base/"
+    ctx = [{"a": {"@id": "http://e/a", "@context": None},
+            "b": {"@id": "http://e/b"},
+            "t": "http://e/t"}]
+    doc = {"@context": ctx, "@id": "http://e/n",
+           "a": {"@id": "http://e/shared", "@type": "t"},
+           "b": {"@id": "http://e/shared", "@type": "t"}}
+    out = api.link(
+        json.loads(json.dumps(doc)), json.loads(json.dumps(ctx)),
+        {"base": base})
+    graph = {n["@id"]: n for n in out["@graph"]}
+    shared_under_a = graph["http://e/n"]["a"]
+    shared_under_b = graph["http://e/n"]["b"]
+    assert shared_under_a["@type"] == [
+        "http://example.org/base/t", "http://e/t"]  # nullified scope
+    assert shared_under_b["@type"] == [
+        "http://example.org/base/t", "t"]           # normal scope
+
+
+def test_link_cycle_still_graceful():
+    # the in-flight cut must keep cutting cycles (reference RecursionErrors
+    # here — documented divergence)
+    ctx = {"p": {"@id": "http://e/p", "@type": "@id"}}
+    doc = {"@context": ctx, "@id": "http://e/x",
+           "p": {"@id": "http://e/y", "p": "http://e/x"}}
+    out = api.link(json.loads(json.dumps(doc)), json.loads(json.dumps(ctx)))
+    assert set(out) == {"@context", "@graph"}
+
+
+def test_container_map_none_key_uses_alias():
+    # soak-found (round-4 link axis, second find): a missing map key
+    # compacts the @none KEYWORD — a term aliasing @none must win over the
+    # literal "@none" (reference jsonld.py:1948 via the keyword-alias fast
+    # path). Exercise all four non-graph container kinds.
+    for cont, val in [
+        ("@type", {"@id": "http://e/x"}),
+        ("@language", {"@value": "plain"}),
+        ("@index", {"@value": "plain"}),
+        ("@id", {"http://e/v": [{"@value": 1}]}),
+    ]:
+        ctx = {"@vocab": "http://e/", "none": "@none",
+               "t": {"@container": cont}}
+        doc = [{"http://e/t": [val]}]
+        out = api.compact(json.loads(json.dumps(doc)),
+                          json.loads(json.dumps(ctx)))
+        assert "none" in out["t"], (cont, out)
+        assert "@none" not in out["t"], (cont, out)
+
+
+def test_graph_id_map_keys_raw_iri_and_alias_fallback():
+    # reference keys graph-id maps on the RAW expanded @id — no CURIE
+    # compaction (jsonld.py:1788-1791); a missing id falls back to the
+    # compacted @none keyword (alias-aware)
+    ctx = {"@vocab": "http://e/", "ex": "http://example.org/",
+           "none": "@none",
+           "input": {"@id": "http://e/input",
+                     "@container": ["@graph", "@id"]}}
+    with_id = [{"http://e/input": [
+        {"@graph": [{"http://e/v": [{"@value": 1}]}],
+         "@id": "http://example.org/g1"}]}]
+    out = api.compact(json.loads(json.dumps(with_id)),
+                      json.loads(json.dumps(ctx)))
+    assert out["input"] == {"http://example.org/g1": {"v": 1}}  # not ex:g1
+    without_id = [{"http://e/input": [
+        {"@graph": [{"http://e/v": [{"@value": 1}]}]}]}]
+    out2 = api.compact(json.loads(json.dumps(without_id)),
+                       json.loads(json.dumps(ctx)))
+    assert out2["input"] == {"none": {"v": 1}}
+
+
+def test_graph_index_map_none_alias_fallback():
+    ctx = {"@vocab": "http://e/", "none": "@none",
+           "input": {"@id": "http://e/input",
+                     "@container": ["@graph", "@index"]}}
+    doc = [{"http://e/input": [
+        {"@graph": [{"http://e/v": [{"@value": 1}]}]}]}]
+    out = api.compact(json.loads(json.dumps(doc)),
+                      json.loads(json.dumps(ctx)))
+    assert out["input"] == {"none": {"v": 1}}
+
+
+def test_nested_list_items_compact_under_list_not_outer_term():
+    # soak-found (round-4 compaction axis, wave N+5): a nested list routes
+    # through generic node-object processing, so its items compact under
+    # the '@list' key — the OUTER term's @type coercion must NOT apply
+    # (reference jsonld.py:1485-1494 + the property loop; the engine
+    # previously compacted inner items under the outer term)
+    ctx = {"@vocab": "http://e/", "t": {"@type": "@none"}}
+    out = api.compact({"@context": dict(ctx), "t": {"@list": [[""]]}},
+                      json.loads(json.dumps(ctx)))
+    assert out["t"] == {"@list": [{"@list": [""]}]}
+    ctx2 = {"@vocab": "http://e/", "t": {"@type": "@id"}}
+    out2 = api.compact(
+        {"@context": dict(ctx2), "t": {"@list": [["http://e/x"]]}},
+        json.loads(json.dumps(ctx2)))
+    assert out2["t"] == {"@list": [{"@list": [{"@id": "http://e/x"}]}]}
+
+
+def test_nested_list_under_list_container_compacts_bare():
+    # '@list' in the active property's container → the nested list object
+    # compacts to the bare inner array under the SAME property
+    ctx = {"@vocab": "http://e/", "t": {"@container": "@list"}}
+    out = api.compact({"@context": dict(ctx), "t": [["a", 1]]},
+                      json.loads(json.dumps(ctx)))
+    assert out["t"] == [["a", 1]]
+
+
+def test_wrapped_nested_list_joins_container_maps_and_arrayifies():
+    # a wrapped list item falls through to container maps (index map key
+    # from the LIST object's @index) and the final-add arrayify rule
+    # (expanded_property == '@list' always holds arrays)
+    ctx = {"@vocab": "http://e/", "t": {"@container": "@index"}}
+    out = api.compact(
+        {"@context": dict(ctx), "t": [{"@list": [["x"]], "@index": "i"}]},
+        json.loads(json.dumps(ctx)))
+    assert out["t"] == {"i": {"@list": [{"@list": ["x"]}]}}
+    deep = api.compact(
+        {"@context": {"@vocab": "http://e/"},
+         "t": {"@list": [[[["deep"]]]]}},
+        {"@vocab": "http://e/"})
+    assert deep["t"] == {
+        "@list": [{"@list": [{"@list": [{"@list": ["deep"]}]}]}]}

@@ -402,6 +402,20 @@ def _q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample per language via priority sampling
+    (operators/sampling.py priority_sample) with Horvitz-Thompson
+    weight_est — sum(weight_est) over any slice of the sample estimates
+    the slice's true char total. Bit-replayable: u is an exactly-
+    representable power-of-two scale of a 48-bit md5 integer and w/u is
+    one IEEE division, so the DuckDB oracle reproduces every double."""
+    from pyld_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=20, by=("lang",)
+    ).select("lang", "doc_id", "priority", "weight_est")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: flag train docs sharing any word 3-gram
     with the held-out test split (GPT-3/Gopher-style check)."""
@@ -496,6 +510,18 @@ def _q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return kmv_distinct(events, "user_id", by=("event_type",), k=64)
+
+
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles via the two-pass binning
+    selection (operators/quantiles.py) — no sort, no sketch; the oracle is
+    the definition itself (value at rank ceil(q*n)) as one DuckDB window."""
+    from pyld_spark.operators.quantiles import exact_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_quantiles(
+        docs, "n_chars", qs=(0.25, 0.5, 0.75, 0.9, 0.99), by=("lang",), n_bins=64
+    )
 
 
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,7 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_triangles": _q_entity_triangles,
         "event_rollup": _q_event_rollup,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "lang_stratified_sample": _q_lang_stratified,
+        "priority_sample_docs": _q_priority_sample,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
         "semantic_dedup_keep": _q_semantic_dedup,
@@ -1894,6 +1922,31 @@ def oracle_sql() -> dict[str, str]:
                        WHEN lang = 'es' THEN '{_hex_threshold(0.5)}'
                        WHEN lang = 'zh' THEN '{_hex_threshold(0.1)}'
                        ELSE '{_hex_threshold(0.25)}' END""",
+        # priority-sampling replay (Duffield-Lund-Thorup): u is an EXACT
+        # power-of-two scale of a 48-bit md5 integer (division by 2^48 is
+        # exact) and priority = w/u is one correctly-rounded IEEE division,
+        # so every double here is bit-identical to the Spark side
+        "priority_sample_docs": """
+            WITH cand AS (
+              SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+                     CAST(n_chars AS DOUBLE) /
+                     (CAST(CAST(concat('0x',
+                          substr(md5(concat('priority:', doc_id)), 1, 12))
+                        AS BIGINT) + 1 AS DOUBLE) / 281474976710656.0)
+                       AS priority
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                         ORDER BY priority DESC, doc_id ASC) AS rn
+              FROM cand),
+            tau AS (
+              SELECT lang,
+                     max(CASE WHEN rn = 21 THEN priority END) AS tau
+              FROM ranked WHERE rn <= 21 GROUP BY lang)
+            SELECT r.lang, r.doc_id, r.priority,
+                   GREATEST(r.w, COALESCE(t.tau, 0.0)) AS weight_est
+            FROM ranked r JOIN tau t ON r.lang = t.lang
+            WHERE r.rn <= 20""",
         # word-3-gram overlap between the hash-derived train and test
         # splits; grams per doc are DISTINCT on both sides (n_hits counts
         # a train doc's distinct grams seen anywhere in test)
@@ -2046,6 +2099,23 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(max(hh) AS DOUBLE) END,
                          4) AS est_distinct
             FROM ranked WHERE rn <= 64 GROUP BY event_type""",
+        # exact-quantile replay: the definition itself — value at global
+        # rank ceil(q*n), one window (implementation-independent; the Spark
+        # side must reach the same value with NO global sort)
+        "doc_length_quantiles": """
+            WITH ranked AS (
+              SELECT lang, n_chars AS value,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents),
+            qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+                               AS DOUBLE) AS q)
+            SELECT lang, q,
+                   GREATEST(CAST(ceil(q * n) AS BIGINT), 1) AS rank,
+                   value
+            FROM ranked, qs
+            WHERE rn = GREATEST(CAST(ceil(q * n) AS BIGINT), 1)""",
         # range-join replay: re-derive error sessions with the same two
         # window functions, then a plain BETWEEN theta join (fine at oracle
         # scale; the Spark side must avoid exactly this shape)

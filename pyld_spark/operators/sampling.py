@@ -20,7 +20,7 @@ md5 cost) are the scale path when oracle portability is not needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKET_HEX_CHARS = 8
@@ -115,3 +115,77 @@ def stratified_sample(
     default_thr = F.lit(_hex_threshold(default_fraction))
     expr = default_thr if expr is None else expr.otherwise(default_thr)
     return df.where(bucket < expr)
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    by: tuple[str, ...] = (),
+    salt: str = "priority",
+) -> DataFrame:
+    """Weighted sample of ``k`` rows per group with unbiased subset-sum
+    estimation — priority sampling (Duffield, Lund & Thorup, JACM 54(6),
+    2007).
+
+    Each row draws ``u`` ~ Uniform(0,1] from its key hash and gets priority
+    ``w/u``; the ``k`` highest priorities per group are kept, and every kept
+    row carries ``weight_est = max(w, tau)`` where ``tau`` is the (k+1)-th
+    priority.  ``sum(weight_est)`` over any subset of the sample is an
+    unbiased estimator of that subset's true total weight — the property a
+    100-TB pipeline needs to answer "how many tokens would this filter keep"
+    from a fixed-size sample, with near-optimal variance (ibid., Thm 1).
+
+    Exactness contract (what makes the DuckDB gate oracle hash-exact):
+    ``u = (h48 + 1) * 2**-48`` scales a 48-bit md5 integer by a POWER OF
+    TWO, so u is representable exactly, and ``w/u`` is one IEEE-correctly-
+    rounded division — bit-identical in any engine; no ln/exp/pow whose
+    libm rounding could differ (the usual Efraimidis-Spirakis ``u**(1/w)``
+    key would not replay).  Ties are impossible for distinct keys (u is
+    injective per key modulo md5 collisions) but ``key_col`` ASC breaks
+    them deterministically anyway.
+
+    Plan shape: ONE exchange on ``by`` shared by both windows; the
+    ``rank <= k+1`` cut compiles to WindowGroupLimit so each partition
+    retains k+1 rows map-side before the shuffle.
+
+    Output: input columns plus ``priority``, ``weight_est``.  Rows with
+    NULL or non-positive weight are excluded (zero-weight rows can never
+    be sampled — DLT define priorities for w > 0).
+    """
+    if k < 1:
+        raise ValueError("priority_sample needs k >= 1")
+    w = F.col(weight_col).cast("double")
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h48 + F.lit(1)).cast("double") * F.lit(2.0**-48)
+    cand = df.where(w.isNotNull() & (w > 0)).withColumn("priority", w / u)
+    order = [F.col("priority").desc(), F.col(key_col).asc()]
+    w_rank = Window.partitionBy(*by).orderBy(*order)
+    w_grp = Window.partitionBy(*by)
+    ranked = (
+        cand.withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") <= k + 1)
+        .withColumn(
+            "_tau",
+            F.max(
+                F.when(F.col("_rn") == k + 1, F.col("priority"))
+            ).over(w_grp),
+        )
+    )
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .withColumn(
+            "weight_est",
+            F.greatest(w, F.coalesce(F.col("_tau"), F.lit(0.0))),
+        )
+        .drop("_rn", "_tau")
+    )

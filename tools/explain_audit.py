@@ -211,6 +211,15 @@ def main() -> None:
             bm25_scores(documents, ["the", "spark"]),
     })
 
+    from pyld_spark.operators.quantiles import exact_quantiles
+
+    plans.update({
+        "exact_quantiles (two-pass binned selection: one (group,bin) "
+        "count agg + broadcast target-bin semi-join + bounded per-bin "
+        "window — NO global sort, no sketch)":
+            exact_quantiles(documents, "n_chars", by=("lang",), n_bins=64),
+    })
+
     out = ["# Physical plans (explain formatted)\n",
            f"Generated by tools/explain_audit.py on {sf_dir}.\n"]
     for title, df in plans.items():

@@ -220,6 +220,15 @@ def main() -> None:
             exact_quantiles(documents, "n_chars", by=("lang",), n_bins=64),
     })
 
+    from pyld_spark.operators.sampling import priority_sample
+
+    plans.update({
+        "priority_sample (one exchange shared by rank + tau windows; "
+        "rank cut compiles to WindowGroupLimit k+1 map-side; no Python)":
+            priority_sample(documents, "doc_id", "n_chars", k=20,
+                            by=("lang",)),
+    })
+
     out = ["# Physical plans (explain formatted)\n",
            f"Generated by tools/explain_audit.py on {sf_dir}.\n"]
     for title, df in plans.items():

@@ -42,6 +42,7 @@ def exact_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
     by: tuple[str, ...] = (),
     n_bins: int = 4096,
+    refine_passes: int = 1,
 ) -> DataFrame:
     """Exact per-group quantiles of an integral column.
 
@@ -51,6 +52,15 @@ def exact_quantiles(
 
     ``value_col`` must be integral (lengths, counts, integer micros);
     exactness of the bin arithmetic depends on it.
+
+    ``refine_passes`` re-bins the surviving target-bin rows before the
+    final in-bin sort: each pass shrinks the candidate set another
+    ~n_bins× (one cheap aggregation over the sliver + a broadcast
+    semi-join), so the final row_number partition is bounded at
+    ~n/n_bins^(1+refine_passes) rows.  At 10^12 rows, one pass takes the
+    worst sort partition from ~2.4e8 rows to ~6e4 — without it the
+    single-partition sort is the one piece of this plan that does not
+    survive a 100× scale-up.  Results are pass-count-invariant (tested).
     """
     if not qs:
         raise ValueError("exact_quantiles needs at least one quantile")
@@ -58,6 +68,8 @@ def exact_quantiles(
         raise ValueError("quantiles must be in (0, 1]")
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    if refine_passes < 0:
+        raise ValueError("refine_passes must be >= 0")
 
     by_cols = [F.col(c) for c in by]
     vals = df.select(*by, F.col(value_col).cast("bigint").alias("_v")).where(
@@ -124,12 +136,62 @@ def exact_quantiles(
         .select(*by_cols, "_bin", "q", "rank", (F.col("rank") - F.col("_prev")).alias("_off"))
     )
 
-    # Pass 2: only rows in target bins survive; rank within (group, bin).
+    # Pass 2: only rows in target bins survive.  `cand` carries, per
+    # (group, q), the candidate rows and the offset of the answer within
+    # them (ordered by value).
     keyed = binned.select(*by_cols, "_v", bin_expr.alias("_bin"))
-    picked = keyed.join(F.broadcast(targets), [*by, "_bin"])
-    w2 = Window.partitionBy(*by, "_bin", "q").orderBy("_v")
+    cand = (
+        keyed.join(F.broadcast(targets), [*by, "_bin"])
+        .select(*by_cols, "q", "rank", "_off", "_v")
+    )
+
+    # Refinement: re-bin the surviving sliver over ITS OWN observed value
+    # range (an exact agg, immune to the float-rounding fuzz of analytic
+    # bin boundaries) and keep only the sub-bin containing the offset —
+    # the same locate logic one level down, on ~1/n_bins of the rows.
+    keys = [*by, "q"]
+    for _ in range(refine_passes):
+        sub_ext = cand.groupBy(*keys).agg(
+            F.min("_v").alias("_slo"), F.max("_v").alias("_shi")
+        )
+        s = cand.join(F.broadcast(sub_ext), keys)
+        sub_bin = ((F.col("_v") - F.col("_slo")) * n_bins / (
+            F.col("_shi") - F.col("_slo") + F.lit(1)
+        )).cast("bigint")
+        s = s.withColumn("_sbin", sub_bin)
+        hist2 = s.groupBy(*keys, "_sbin").agg(F.count(F.lit(1)).alias("_c"))
+        w_loc = (
+            Window.partitionBy(*keys)
+            .orderBy("_sbin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum2 = hist2.withColumn("_cum", F.sum("_c").over(w_loc)).withColumn(
+            "_prev", F.col("_cum") - F.col("_c")
+        )
+        # _off is constant per (group, q) — one target (sub-)bin survives
+        # each pass, so min() is just a carrier
+        offs = cand.groupBy(*keys).agg(F.min("_off").alias("_off"))
+        tgt2 = (
+            cum2.join(F.broadcast(offs), keys)
+            .where(
+                (F.col("_off") > F.col("_prev"))
+                & (F.col("_off") <= F.col("_cum"))
+            )
+            .select(
+                *[F.col(k) for k in keys],
+                "_sbin",
+                (F.col("_off") - F.col("_prev")).alias("_noff"),
+            )
+        )
+        cand = s.join(F.broadcast(tgt2), [*keys, "_sbin"]).select(
+            *by_cols, "q", "rank", F.col("_noff").alias("_off"), "_v"
+        )
+
+    # Final pick: the candidate set holds one (sub-)bin per (group, q), so
+    # this window partition is the bounded sliver, never the corpus.
+    w2 = Window.partitionBy(*keys).orderBy("_v")
     out = (
-        picked.withColumn("_rn", F.row_number().over(w2))
+        cand.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") == F.col("_off"))
         .select(*by_cols, "q", "rank", F.col("_v").alias("value"))
     )

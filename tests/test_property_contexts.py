@@ -120,6 +120,15 @@ bodies = st.fixed_dictionaries(
                 st.one_of(st.text(max_size=3),
                           st.lists(st.text(max_size=2), max_size=2)),
                 max_size=2)}),
+            # deeper nesting + @index on the list object (round-4 nested-
+            # list parity finds lived here)
+            st.fixed_dictionaries(
+                {"@list": st.lists(st.one_of(
+                    st.text(max_size=2),
+                    st.lists(st.lists(st.text(max_size=2), max_size=1),
+                             max_size=1)),
+                    max_size=2)},
+                optional={"@index": st.just("ix")}),
             st.fixed_dictionaries({"@set": st.lists(
                 st.text(max_size=3), max_size=2)}),
             st.fixed_dictionaries({"@graph": st.lists(

@@ -90,3 +90,35 @@ def test_rejects_bad_args(spark):
         exact_quantiles(df, "v", qs=(1.5,))
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", n_bins=1)
+
+
+def test_refine_pass_invariance(spark):
+    rng = random.Random(31)
+    vals = [rng.randint(-1000, 10_000) for _ in range(800)]
+    qs = (0.05, 0.5, 0.95, 1.0)
+    ref = None
+    for passes in (0, 1, 2, 3):
+        got = {
+            r["q"]: (r["rank"], r["value"])
+            for r in _run_passes(spark, [(v,) for v in vals], qs, passes)
+        }
+        ref = ref or got
+        assert got == ref, passes
+    assert ref == _oracle(vals, qs)
+
+
+def test_refine_with_heavy_ties_and_groups(spark):
+    # all-equal candidate bins exercise the _shi == _slo degenerate branch
+    rows = [("a", 5)] * 50 + [("a", 9)] * 3 + [("b", -2), ("b", -2), ("b", 0)]
+    got = {}
+    for r in _run_passes(spark, rows, (0.5, 1.0), 2, by=("g",)):
+        got.setdefault(r["g"], {})[r["q"]] = r["value"]
+    assert got == {"a": {0.5: 5, 1.0: 9}, "b": {0.5: -2, 1.0: 0}}
+
+
+def _run_passes(spark, rows, qs, passes, by=()):
+    cols = list(by) + ["v"]
+    df = spark.createDataFrame(rows, cols)
+    return exact_quantiles(
+        df, "v", qs=qs, by=tuple(by), n_bins=8, refine_passes=passes
+    ).collect()

@@ -244,7 +244,10 @@ def from_rdf(
                 )
             elif oid in referenced_once:
                 referenced_once[oid] = False
-            elif obj["type"] == "blank node":
+            else:
+                # IRI objects are tracked too, not just bnodes (reference
+                # jsonld.py:2977-2985) — that is what lets an IRI-named
+                # list cell convert, via the post-advance bnode break
                 referenced_once[oid] = {
                     "node": node, "property": pred["value"], "value": value,
                 }
@@ -260,9 +263,15 @@ def from_rdf(
         for usage in nil.get("usages", []):
             node, prop, head = usage["node"], usage["property"], usage["value"]
             list_, list_nodes = [], []
+            # NOTE: no bnode-ness requirement here — the reference checks
+            # bnode-ness only AFTER advancing (jsonld.py:3044-3046), so an
+            # IRI-named list cell IS converted (and, because
+            # referenced_once is GLOBAL while usages are per-graph, its
+            # single reference may live in ANOTHER graph — the walk then
+            # crosses graphs and rewrites that usage site; soak-found,
+            # round 4 fromRdf axis)
             while (
                 prop == RDF_REST
-                and _is_bnode_id(node.get("@id"))
                 and isinstance(referenced_once.get(node["@id"]), dict)
                 and isinstance(node.get(RDF_FIRST), list)
                 and len(node[RDF_FIRST]) == 1

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyld_spark.jsonld import api
 from pyld_spark.jsonld.fromrdf import from_rdf
 from pyld_spark.jsonld.nquads import parse_nquads
 
@@ -99,3 +100,62 @@ def test_roundtrip_tordf_fromrdf():
     expanded = from_rdf(parse_nquads(nq))
     rt = serialize_quads(to_rdf(expanded))
     assert '"x"' in rt and '"y"' in rt and f"<{RDF}first>" in rt
+
+
+def test_iri_named_list_cell_converts_cross_graph():
+    # soak-found (round-4 fromRdf axis): the reference checks bnode-ness
+    # only AFTER advancing up the chain (jsonld.py:3044-3046) and tracks
+    # referenced_once GLOBALLY while nil usages are per-graph — so an
+    # IRI-named list cell in a named graph converts, and its single
+    # reference in the DEFAULT graph is rewritten into the @list head
+    # while the cell disappears from the named graph.
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    nq = (
+        "<http://e/s1> <http://e/p> <http://e/s1> .\n"
+        f"<http://e/s1> <{RDF}first> <http://e/o> <http://e/g> .\n"
+        f"<http://e/s1> <{RDF}rest> <{RDF}nil> <http://e/g> .\n"
+    )
+    opts = {"format": "application/n-quads", "useNativeTypes": False}
+    out = api.from_rdf(nq, dict(opts))
+    assert out == [
+        {"@id": "http://e/g", "@graph": []},
+        {"@id": "http://e/s1",
+         "http://e/p": [{"@list": [{"@id": "http://e/o"}]}]},
+    ]
+    ref = get_reference_jsonld()
+    assert out == ref.from_rdf(nq, dict(opts))
+
+
+def test_iri_named_list_cell_referenced_twice_does_not_convert():
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    nq = (
+        "<http://e/a> <http://e/p> <http://e/l1> .\n"
+        "<http://e/b> <http://e/p> <http://e/l1> .\n"
+        f'<http://e/l1> <{RDF}first> "x" .\n'
+        f"<http://e/l1> <{RDF}rest> <{RDF}nil> .\n"
+    )
+    opts = {"format": "application/n-quads", "useNativeTypes": False}
+    out = api.from_rdf(nq, dict(opts))
+    ref = get_reference_jsonld()
+    assert out == ref.from_rdf(nq, dict(opts))
+    # the cell survives as a node with explicit first/rest
+    ids = {n["@id"] for n in out}
+    assert "http://e/l1" in ids
+
+
+def test_iri_cell_mid_chain_breaks_walk_after_conversion():
+    # bnode chain ending at an IRI cell: the IRI cell converts (it is the
+    # first node of the backwards walk), the walk continues into the bnode
+    # and stops only after advancing past a non-bnode parent
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    nq = (
+        "<http://e/a> <http://e/p> _:b0 .\n"
+        f'_:b0 <{RDF}first> "1" .\n'
+        f"_:b0 <{RDF}rest> <http://e/l1> .\n"
+        f'<http://e/l1> <{RDF}first> "2" .\n'
+        f"<http://e/l1> <{RDF}rest> <{RDF}nil> .\n"
+    )
+    opts = {"format": "application/n-quads", "useNativeTypes": False}
+    out = api.from_rdf(nq, dict(opts))
+    ref = get_reference_jsonld()
+    assert out == ref.from_rdf(nq, dict(opts))

@@ -402,6 +402,17 @@ def _q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain cap: at most 5 documents per (lang, source) bucket, chosen
+    by key hash (operators/sampling.py cap_per_group) — bounds any one
+    host's share of the corpus; stable across runs and partitionings."""
+    from pyld_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir), "doc_id", ("lang", "source"), k=5
+    ).select("lang", "source", "doc_id")
+
+
 def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted document sample per language via priority sampling
     (operators/sampling.py priority_sample) with Horvitz-Thompson
@@ -975,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "lang_stratified_sample": _q_lang_stratified,
         "priority_sample_docs": _q_priority_sample,
+        "source_capped_docs": _q_source_cap,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
         "semantic_dedup_keep": _q_semantic_dedup,
@@ -1922,6 +1934,18 @@ def oracle_sql() -> dict[str, str]:
                        WHEN lang = 'es' THEN '{_hex_threshold(0.5)}'
                        WHEN lang = 'zh' THEN '{_hex_threshold(0.1)}'
                        ELSE '{_hex_threshold(0.25)}' END""",
+        # domain-cap replay: rank by md5(salt:key) hex within each
+        # (lang, source) bucket, keep the first 5 (buckets hold up to 16
+        # docs at the test SFs, so the cap genuinely filters)
+        "source_capped_docs": """
+            WITH ranked AS (
+              SELECT lang, source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(concat('cap:', CAST(doc_id AS VARCHAR))),
+                                doc_id) AS rn
+              FROM documents)
+            SELECT lang, source, doc_id FROM ranked WHERE rn <= 5""",
         # priority-sampling replay (Duffield-Lund-Thorup): u is an EXACT
         # power-of-two scale of a 48-bit md5 integer (division by 2^48 is
         # exact) and priority = w/u is one correctly-rounded IEEE division,

@@ -189,3 +189,40 @@ def priority_sample(
         )
         .drop("_rn", "_tau")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    by: tuple[str, ...],
+    k: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the web-pipeline "domain cap"
+    (bound any one source's share of the corpus so a boilerplate-heavy
+    host cannot dominate training data).
+
+    Which k survive is a pure function of (key, salt): rows rank by
+    ``md5(salt:key)`` hex (ties broken by key), so the kept set is stable
+    across runs, engines, and repartitionings, and is an unbiased uniform
+    choice within each group.  Growth-stability differs from the
+    fraction-based samplers above BY DESIGN: a cap is a fixed budget, so
+    new arrivals with smaller hashes legitimately displace old members.
+
+    Plan: one exchange on ``by``; the rank cut compiles to
+    WindowGroupLimit (each map task retains ≤ k rows per group before the
+    shuffle), no Python.
+    """
+    if k < 1:
+        raise ValueError("cap_per_group needs k >= 1")
+    if not by:
+        raise ValueError("cap_per_group needs grouping keys")
+    rank_hex = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(*by).orderBy(rank_hex.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -235,6 +235,24 @@ def main() -> None:
     timed("bm25_scores(3 terms)",
           bm25_scores(docs, ["w1", "w2", "s1"]), n_docs)
 
+    # sampling + quantile ops (round-4 tail additions)
+    from pyld_spark.operators.quantiles import exact_quantiles
+    from pyld_spark.operators.sampling import cap_per_group, priority_sample
+
+    weighted = docs.select(
+        "doc_id",
+        F.pmod(F.hash("doc_id"), F.lit(50)).alias("grp"),
+        (F.pmod(F.hash("doc_id", F.lit(7)), F.lit(5000)) + 1).alias("w"),
+    ).localCheckpoint()
+    _ = weighted.count()
+    timed("priority_sample(k=20,50 groups)",
+          priority_sample(weighted, "doc_id", "w", k=20, by=("grp",)),
+          n_docs)
+    timed("cap_per_group(k=100,50 groups)",
+          cap_per_group(weighted, "doc_id", ("grp",), k=100), n_docs)
+    timed("exact_quantiles(5q,50 groups,refine=1)",
+          exact_quantiles(weighted, "w", by=("grp",), n_bins=4096), n_docs)
+
     spark.stop()
 
 

@@ -402,6 +402,55 @@ def _q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_rollup's finest grain through Structured Streaming REPLAY
+    (streaming/stream.py stream_event_rollup): watermarked tumbling-window
+    aggregate in append mode over a file-source replay of the events
+    table. Two far-future sentinel files (filtered from the output) land
+    in tail microbatches so the final watermark passes every real bucket —
+    the gate then demands EVERY minute bucket, hash-exact vs the same flat
+    DuckDB aggregation that checks the batch rollup."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyld_spark.streaming.stream import stream_event_rollup
+
+    work = _tempfile.mkdtemp(prefix="gate_rollup_stream_")
+    inp, ckpt = f"{work}/in", f"{work}/ckpt"
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(4).write.parquet(inp)
+    sentinel_schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    for year in (2030, 2031):
+        spark.createDataFrame(
+            [(0, _dt.datetime(year, 1, 1, tzinfo=_dt.timezone.utc), 0,
+              "__sentinel__", 0.0, None)],
+            sentinel_schema,
+        ).coalesce(1).write.mode("append").parquet(inp)
+        # FileStreamSource orders the replay by mtime: sentinels must be
+        # the two NEWEST files so they land in tail microbatches and
+        # commit the final watermark before firing
+        newest = max(_glob.glob(f"{inp}/*.parquet"), key=_os.path.getmtime)
+        _os.utime(newest, (_os.path.getmtime(newest) + (year - 2029) * 10,) * 2)
+    name = f"gate_rollup_{abs(hash(work)) % 100000}"
+    q = stream_event_rollup(
+        spark, inp, ckpt, grain="minute", watermark="1 hour",
+        query_name=name,
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .where(F.col("event_type") != "__sentinel__")
+        .select("bucket", "event_type", "n_events", "sum_value",
+                "min_value", "max_value")
+    )
+
+
 def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain cap: at most 5 documents per (lang, source) bucket, chosen
     by key hash (operators/sampling.py cap_per_group) — bounds any one
@@ -987,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stratified_sample": _q_lang_stratified,
         "priority_sample_docs": _q_priority_sample,
         "source_capped_docs": _q_source_cap,
+        "streamed_event_rollup": _q_streamed_event_rollup,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
         "semantic_dedup_keep": _q_semantic_dedup,
@@ -1934,6 +1984,15 @@ def oracle_sql() -> dict[str, str]:
                        WHEN lang = 'es' THEN '{_hex_threshold(0.5)}'
                        WHEN lang = 'zh' THEN '{_hex_threshold(0.1)}'
                        ELSE '{_hex_threshold(0.25)}' END""",
+        # streamed-rollup replay: the watermark sentinels force every real
+        # minute bucket to emit, so the streamed append-mode output must
+        # equal the flat batch aggregation exactly
+        "streamed_event_rollup": """
+            SELECT date_trunc('minute', ts) AS bucket, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY bucket, event_type""",
         # domain-cap replay: rank by md5(salt:key) hex within each
         # (lang, source) bucket, keep the first 5 (buckets hold up to 16
         # docs at the test SFs, so the cap genuinely filters)

@@ -939,6 +939,21 @@ def _expand_index_map(st, active_ctx, term_ctx, key, defn, container, value, bas
             else "@id" if "@id" in container
             else "@type"
         )
+        def _require_object(item):
+            # a non-object item reaching an index-key assignment only
+            # arises from frame-mode value patterns; the reference dies
+            # with a bare TypeError here (jsonld.py:3724-3741) — this
+            # engine raises the spec error instead so a poison doc
+            # quarantines rather than killing the stage (documented
+            # graceful divergence, soak wave N+8). Items that need no
+            # assignment (index key @none) pass through untouched in
+            # BOTH engines and are not guarded.
+            if not isinstance(item, dict):
+                raise JsonLdError(
+                    "invalid item inside an index container",
+                    "invalid value object",
+                )
+
         for item in arrayify(expanded_items):
             if item is None:
                 continue
@@ -946,6 +961,7 @@ def _expand_index_map(st, active_ctx, term_ctx, key, defn, container, value, bas
                 item = {"@graph": arrayify(item)}
             if eff_index_key == "@type":
                 if expanded_index != "@none":
+                    _require_object(item)
                     item["@type"] = [expanded_index] + arrayify(item.get("@type"))
             elif (
                 is_value_object(item)
@@ -962,14 +978,28 @@ def _expand_index_map(st, active_ctx, term_ctx, key, defn, container, value, bas
                 # a literal '@none' key adds nothing (jsonld.py:3691-3692,
                 # 3731-3739)
                 if index != "@none":
+                    _require_object(item)
                     re_expanded = _expand_value(active_ctx, index_key, index)
                     existing = arrayify(item.get(property_index))
                     item[property_index] = [re_expanded] + existing
-            elif expanded_index != "@none" and eff_index_key not in item:
-                if eff_index_key == "@id":
-                    item["@id"] = expand_iri(active_ctx, index, document_relative=True)
-                else:
-                    item[eff_index_key] = index
+            elif expanded_index != "@none":
+                # mirror the reference's `in` semantics exactly: dict key
+                # test, but SUBSTRING test on a string item (a string
+                # containing the index key is appended raw, no crash —
+                # jsonld.py:3740)
+                contains = (
+                    eff_index_key in item
+                    if isinstance(item, (dict, str))
+                    else False
+                )
+                if not contains:
+                    _require_object(item)
+                    if eff_index_key == "@id":
+                        item["@id"] = expand_iri(
+                            active_ctx, index, document_relative=True
+                        )
+                    else:
+                        item[eff_index_key] = index
             result.append(item)
     return result
 

@@ -501,3 +501,26 @@ def test_wrapped_nested_list_joins_container_maps_and_arrayifies():
         {"@vocab": "http://e/"})
     assert deep["t"] == {
         "@list": [{"@list": [{"@list": [{"@list": ["deep"]}]}]}]}
+
+
+def test_index_container_string_item_graceful():
+    # soak-found (round-4 framing axis, wave N+8): a frame value pattern
+    # can put a bare STRING item inside an index container (term @id
+    # '@none' makes value expansion return the raw string). The reference
+    # dies with a bare TypeError on the index-key assignment
+    # (jsonld.py:3724-3741); this engine raises the spec error instead so
+    # a poison doc quarantines rather than killing the stage (documented
+    # graceful divergence). A string CONTAINING the index key follows the
+    # reference's substring `in` semantics and is appended raw — parity.
+    ctx = {"t": {"@id": "@none", "@container": "@index"}}
+    frame = {"@context": json.loads(json.dumps(ctx)), "t": {"@value": "x"}}
+    with pytest.raises(JsonLdError) as e:
+        api.frame({"@context": json.loads(json.dumps(ctx))},
+                  json.loads(json.dumps(frame)))
+    assert e.value.code == "invalid value object"
+    # substring path, byte-parity with the reference (it does not crash)
+    frame2 = {"@context": json.loads(json.dumps(ctx)),
+              "t": {"i": "@index inside"}}
+    out = api.frame({"@context": json.loads(json.dumps(ctx))},
+                    json.loads(json.dumps(frame2)))
+    assert out == {"@context": ctx}

@@ -352,6 +352,74 @@ COMPACT.extend([
     },
 ])
 
+# round-4 late-soak finds: @none-alias map keys, raw-IRI graph-map keys,
+# nested-list generic routing (expecteds still come from the reference)
+COMPACT.extend([
+    {
+        "id": "hard-co-none-alias-type-map",
+        "name": "missing @type map key compacts to the @none alias",
+        "input": [{E + "t": [{"@id": E + "x"}]}],
+        "ctx": {"@vocab": E, "none": "@none", "t": {"@container": "@type"}},
+    },
+    {
+        "id": "hard-co-none-alias-language-map",
+        "name": "missing @language map key compacts to the @none alias",
+        "input": [{E + "t": [{"@value": "plain"}]}],
+        "ctx": {"@vocab": E, "none": "@none",
+                "t": {"@container": "@language"}},
+    },
+    {
+        "id": "hard-co-none-alias-id-map",
+        "name": "missing @id map key compacts to the @none alias",
+        "input": [{E + "t": [{E + "v": [{"@value": 1}]}]}],
+        "ctx": {"@vocab": E, "none": "@none", "t": {"@container": "@id"}},
+    },
+    {
+        "id": "hard-co-graph-id-raw-key",
+        "name": "graph-id map keys on the raw expanded @id (no CURIE)",
+        "input": [{E + "input": [{"@graph": [{E + "v": [{"@value": 1}]}],
+                                  "@id": "http://other.org/g1"}]}],
+        "ctx": {"@vocab": E, "oth": "http://other.org/",
+                "input": {"@id": E + "input",
+                          "@container": ["@graph", "@id"]}},
+    },
+    {
+        "id": "hard-co-graph-index-none-alias",
+        "name": "graph-index map @none fallback is alias-aware",
+        "input": [{E + "input": [{"@graph": [{E + "v": [{"@value": 1}]}]}]}],
+        "ctx": {"@vocab": E, "none": "@none",
+                "input": {"@id": E + "input",
+                          "@container": ["@graph", "@index"]}},
+    },
+    {
+        "id": "hard-co-nested-list-typed-term",
+        "name": "nested list items compact under @list, not the outer term",
+        "input": [{E + "t": [{"@list": [{"@list": [{"@value": ""}]}]}]}],
+        "ctx": {"@vocab": E, "t": {"@type": "@none"}},
+    },
+    {
+        "id": "hard-co-nested-list-in-list-container",
+        "name": "nested list under a @list-container term stays bare",
+        "input": [{E + "t": [{"@list": [
+            {"@list": [{"@value": "a"}, {"@value": 1}]}]}]}],
+        "ctx": {"@vocab": E, "t": {"@container": "@list"}},
+    },
+    {
+        "id": "hard-co-nested-list-in-index-map",
+        "name": "wrapped nested list joins the index map and arrayifies",
+        "input": [{E + "t": [{"@list": [{"@list": [{"@value": "x"}]}],
+                              "@index": "i"}]}],
+        "ctx": {"@vocab": E, "t": {"@container": "@index"}},
+    },
+    {
+        "id": "hard-co-deep-nested-list",
+        "name": "four-level nested list wraps at every level",
+        "input": [{E + "t": [{"@list": [{"@list": [{"@list": [
+            {"@list": [{"@value": "deep"}]}]}]}]}]}],
+        "ctx": {"@vocab": E},
+    },
+])
+
 # framing round-trips run through expand→frame; compaction round-trips
 # expand→compact — pin a handful of COMBINED shapes too
 ROUNDTRIP = [

@@ -182,6 +182,18 @@ def _q_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_entities(extract_mentions(t))
 
 
+def _q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style association (exact lift ratio — log is engine-dependent,
+    the ratio is bit-replayable and rank-equivalent) for entity pairs
+    co-mentioned in the same conversation (operators/linking.py
+    pmi_pairs)."""
+    from pyld_spark.operators.linking import pmi_pairs
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return pmi_pairs(link_entities(extract_mentions(t)), min_pair_count=1)
+
+
 def _q_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     t = transcripts_from_events(spark, sf_dir)
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_table": _q_entity_table,
         "entity_pagerank": _q_entity_pagerank,
         "kg_comention_pairs": _q_kg_comention,
+        "pmi_entity_pairs": _q_pmi_pairs,
         "bgp_optional_tool": _q_bgp_optional_tool,
         "kg_entity_khop": _q_kg_entity_khop,
         "entailed_entity_types": _q_entailed_types,
@@ -2300,6 +2313,29 @@ def oracle_sql() -> dict[str, str]:
             FROM transcripts GROUP BY conv_id""",
         "linked_mentions": f"""{_T_CTE}, {mentions_cte}
             SELECT * FROM linked""",
+        # PMI lift replay: three exact BIGINT→DOUBLE casts, one multiply
+        # per side, one division — identical IEEE rounding both engines
+        "pmi_entity_pairs": f"""{_T_CTE}, {mentions_cte},
+            ce AS (SELECT DISTINCT conv_id, entity_iri FROM linked),
+            nrow AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT)
+                              AS n_convs FROM ce),
+            pairs AS (
+              SELECT a.entity_iri AS entity_a, b.entity_iri AS entity_b,
+                     CAST(count(*) AS BIGINT) AS c_xy
+              FROM ce a JOIN ce b
+                ON a.conv_id = b.conv_id AND a.entity_iri < b.entity_iri
+              GROUP BY 1, 2 HAVING count(*) >= 1),
+            marg AS (SELECT entity_iri, CAST(count(*) AS BIGINT) AS c
+                     FROM ce GROUP BY 1)
+            SELECT p.entity_a, p.entity_b, p.c_xy, ma.c AS c_x,
+                   mb.c AS c_y, n.n_convs,
+                   round(CAST(n.n_convs AS DOUBLE) * CAST(p.c_xy AS DOUBLE)
+                         / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)),
+                         6) AS lift
+            FROM pairs p
+            JOIN marg ma ON p.entity_a = ma.entity_iri
+            JOIN marg mb ON p.entity_b = mb.entity_iri
+            CROSS JOIN nrow n""",
         "mention_triples": f"""{_T_CTE}, {mentions_cte}
             SELECT {turn_subj} AS subj, '{_VOCAB}mentions' AS pred,
                    'IRI' AS obj_kind, entity_iri AS obj_value,

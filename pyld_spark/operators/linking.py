@@ -163,3 +163,61 @@ def entity_mention_counts(linked: DataFrame, salt_buckets: int = 16) -> DataFram
         F.sum("_c").cast("bigint").alias("n_mentions"),
         F.min("_k").alias("mention_kind"),
     )
+
+
+def pmi_pairs(linked: DataFrame, min_pair_count: int = 2) -> DataFrame:
+    """PMI-style association scores for entity pairs co-mentioned in the
+    same conversation — emitted as the exact LIFT ratio
+    ``N·c_xy / (c_x·c_y)`` rather than its log: log/exp round differently
+    across engines (libm vs JVM), the ratio is three exact BIGINT→DOUBLE
+    casts, one multiply each side and one division — all correctly-rounded
+    IEEE ops, bit-replayable by the DuckDB oracle; and log is monotone, so
+    ranking by lift IS ranking by PMI.
+
+    Dataflow: distinct (conv, entity) — one shuffle; marginals c_x are a
+    vocabulary-sized aggregate (broadcast); the pair join runs inside each
+    conversation (shuffle on conv_id, pair fan-out bounded by per-conv
+    entity count, never corpus-quadratic); N crossed in as a 1-row
+    broadcast, the same shape tfidf uses for its corpus count.
+    ``min_pair_count`` prunes the long random-co-occurrence tail before
+    the marginal joins.
+    """
+    ce = linked.select("conv_id", "entity_iri").distinct()
+    n_rows = ce.select(
+        F.countDistinct("conv_id").alias("n_convs")
+    )
+    a = ce.alias("a")
+    b = ce.alias("b")
+    pairs = (
+        a.join(b, "conv_id")
+        .where(F.col("a.entity_iri") < F.col("b.entity_iri"))
+        .groupBy(
+            F.col("a.entity_iri").alias("entity_a"),
+            F.col("b.entity_iri").alias("entity_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_pair_count)
+    )
+    marg = ce.groupBy("entity_iri").agg(F.count(F.lit(1)).alias("c"))
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("entity_iri").alias("entity_a"),
+                                    F.col("c").alias("c_x"))),
+            "entity_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("entity_iri").alias("entity_b"),
+                                    F.col("c").alias("c_y"))),
+            "entity_b",
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "entity_a", "entity_b", "c_xy", "c_x", "c_y", "n_convs",
+            F.round(
+                (F.col("n_convs").cast("double") * F.col("c_xy").cast("double"))
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out

@@ -127,3 +127,42 @@ def test_noop_without_sameas(spark):
     assert {tuple(r) for r in resolve_sameas(df).collect()} == set(
         map(tuple, quads)
     )
+
+
+def test_pmi_pairs_matches_python_replay(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from pyld_spark.operators.linking import pmi_pairs
+
+    rows = [
+        ("c1", "e1"), ("c1", "e2"), ("c1", "e3"), ("c1", "e1"),  # dup mention
+        ("c2", "e1"), ("c2", "e2"),
+        ("c3", "e2"), ("c3", "e3"),
+        ("c4", "e1"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "entity_iri"])
+    got = {
+        (r.entity_a, r.entity_b): (r.c_xy, r.c_x, r.c_y, r.n_convs, r.lift)
+        for r in pmi_pairs(df, min_pair_count=1).collect()
+    }
+    convs = {}
+    for c, e in rows:
+        convs.setdefault(c, set()).add(e)
+    n = len(convs)
+    marg = Counter(e for es in convs.values() for e in es)
+    cxy = Counter()
+    for es in convs.values():
+        for a, b in combinations(sorted(es), 2):
+            cxy[(a, b)] += 1
+    exp = {
+        k: (v, marg[k[0]], marg[k[1]], n,
+            round(float(n) * v / (float(marg[k[0]]) * marg[k[1]]), 6))
+        for k, v in cxy.items()
+    }
+    assert got == exp
+    # min_pair_count prunes
+    pruned = pmi_pairs(df, min_pair_count=2).collect()
+    assert {(r.entity_a, r.entity_b) for r in pruned} == {
+        k for k, v in cxy.items() if v >= 2
+    }

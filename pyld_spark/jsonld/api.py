@@ -130,7 +130,14 @@ def compact(document, ctx, options: dict | None = None) -> dict:
     if o.get("graph") and not isinstance(compacted, list):
         compacted = [compacted]
     if isinstance(compacted, list):
-        if not compacted and not o.get("graph"):
+        # the empty-list → {} simplification is gated on compactArrays
+        # (reference jsonld.py:527-533): with compactArrays=False an empty
+        # result compacts to {'@graph': []} (soak-found, options axis)
+        if (
+            not compacted
+            and not o.get("graph")
+            and o.get("compactArrays", True)
+        ):
             compacted = {}
         else:
             kw_graph = compact_iri(active, "@graph", vocab=True)

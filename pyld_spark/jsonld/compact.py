@@ -201,14 +201,23 @@ def compact_iri(
                 type_language_value = common_language
         else:
             if is_value_object(value):
-                if "@direction" in value and "@index" not in value:
-                    type_language_value = (
-                        f"{value.get('@language', '')}_{value['@direction']}".lower()
-                    )
+                # branch ORDER mirrors the reference (jsonld.py:5271-5282):
+                # a value with @language gets the language containers (and a
+                # lang_dir key when it also carries @direction); a value
+                # with @direction but NO @language gets only the '_dir' key
+                # and NO language containers — so a @language-container
+                # term is NOT selectable for it and compaction falls
+                # through to vocab/CURIE (soak-found, options axis)
+                if "@language" in value and "@index" not in value:
                     containers += ["@language", "@language@set"]
-                elif "@language" in value and "@index" not in value:
-                    type_language_value = value["@language"].lower()
-                    containers += ["@language", "@language@set"]
+                    if value.get("@direction"):
+                        type_language_value = (
+                            f"{value['@language']}_{value['@direction']}".lower()
+                        )
+                    else:
+                        type_language_value = value["@language"].lower()
+                elif "@direction" in value and "@index" not in value:
+                    type_language_value = f"_{value['@direction']}".lower()
                 elif "@type" in value:
                     type_language = "@type"
                     type_language_value = value["@type"]
@@ -534,11 +543,15 @@ def compact(
             ]
             alias = compact_iri(active, "@type", vocab=True)
             type_def = active.terms.get(alias)
-            as_array = not compact_arrays or (
+            # a singleton @type unwraps UNCONDITIONALLY — compactArrays
+            # does not gate it (reference jsonld.py:1572-1590: the unwrap
+            # happens before add_value; only a 1.1 @set container or an
+            # empty value forces an array). Soak-found, options axis.
+            as_array = (
                 active.processing_mode != "json-ld-1.0"
                 and type_def is not None
                 and "@set" in type_def.container
-            )
+            ) or not types
             result[alias] = types if (len(types) > 1 or as_array) else types[0]
             continue
 
@@ -705,17 +718,38 @@ def compact(
                                 if odef is not None:
                                     compacted_item = compacted_item[only]
                     else:
-                        prop_iri = active.terms[index_key].iri if index_key in active.terms else index_key
+                        # property-valued index: expand the term's @index
+                        # mapping, take the FIRST expanded index value, and
+                        # RE-COMPACT the index property WITH that value —
+                        # term selection can depend on it, and the map key
+                        # is extracted from the COMPACTED item under that
+                        # re-compacted key (reference jsonld.py:1873-1908;
+                        # soak-found, options axis: the old code looked up
+                        # the raw index IRI and always missed)
+                        from pyld_spark.jsonld.context import expand_iri as _xiri
+
+                        expanded_index_key = _xiri(active, index_key, vocab=True)
+                        index_values = arrayify(
+                            expanded_item.get(expanded_index_key, [])
+                        )
+                        index_value = index_values[0] if index_values else None
+                        container_key = compact_iri(
+                            active, expanded_index_key, index_value, vocab=True
+                        )
+                        indexes = []
+                        if isinstance(compacted_item, dict):
+                            indexes = arrayify(
+                                compacted_item.get(container_key, [])
+                            )
                         key = None
-                        if isinstance(compacted_item, dict) and index_key in compacted_item:
-                            kv = arrayify(compacted_item[index_key])
-                            if kv and isinstance(kv[0], str):
-                                key = kv[0]
-                                rest = kv[1:]
-                                if rest:
-                                    compacted_item[index_key] = rest[0] if len(rest) == 1 and compact_arrays else rest
-                                else:
-                                    compacted_item.pop(index_key)
+                        if indexes and isinstance(indexes[0], str):
+                            key = indexes.pop(0)
+                            if not indexes:
+                                del compacted_item[container_key]
+                            elif len(indexes) == 1:
+                                compacted_item[container_key] = indexes[0]
+                            else:
+                                compacted_item[container_key] = indexes
                 elif "@id" in container:
                     id_alias = compact_iri(active, "@id", vocab=True)
                     key = None

@@ -228,12 +228,18 @@ def process_context(
                     "tried to nullify a context with protected terms",
                     "invalid context nullification",
                 )
-            prev = result.previous if propagate is False else None
+            # nullification replaces the working context with a FRESH
+            # initial context — previousContext included: the reference's
+            # `rval = self._get_initial_context(options)` (jsonld.py:3277)
+            # drops the previous context the propagate=False pre-loop set,
+            # so a null TYPE-scoped context (stored as False,
+            # jsonld.py:5934) nullifies IRREVERSIBLY — the later
+            # new-node-object revert is a no-op and reverse/property keys
+            # compact to full IRIs (soak-found, round-4 options axis)
             result = initial_context(
                 base=active.original_base, processing_mode=active.processing_mode
             )
             result.original_base = active.original_base
-            result.previous = prev
             continue
 
         if isinstance(context, str):

@@ -524,3 +524,64 @@ def test_index_container_string_item_graceful():
     out = api.frame({"@context": json.loads(json.dumps(ctx))},
                     json.loads(json.dumps(frame2)))
     assert out == {"@context": ctx}
+
+
+# ---------------------------------------------------------------------------
+# round-4 compaction OPTIONS axis finds (compactArrays × graph fuzz)
+
+def test_compact_arrays_false_empty_result_keeps_graph():
+    # the empty-list → {} simplification is gated on compactArrays
+    # (reference jsonld.py:527-533)
+    out = api.compact({}, {}, {"compactArrays": False})
+    assert out == {"@graph": []}
+    assert api.compact({}, {}) == {}
+
+
+def test_singleton_type_unwraps_even_without_compact_arrays():
+    # the singleton-@type unwrap is NOT gated on compactArrays (reference
+    # jsonld.py:1572-1590)
+    out = api.compact({"@type": "t"}, {}, {"compactArrays": False,
+                                           "base": "http://e/b/"})
+    assert out["@graph"][0]["@type"] == "http://e/b/t"
+
+
+def test_property_valued_index_extracts_recompacted_key():
+    # the map key comes from the COMPACTED item under the RE-COMPACTED
+    # index property (value-dependent term selection), not the raw IRI
+    # (reference jsonld.py:1873-1908)
+    ctx = [{"@vocab": "http://e/",
+            "t": {"@type": "@id", "@container": ["@set", "@index"],
+                  "@index": "http://e/idx"}}]
+    body = {"@reverse": {"t": {"@id": "http://e/rn"}}}
+    doc = {"@context": json.loads(json.dumps(ctx)), **body}
+    out = api.compact(doc, json.loads(json.dumps(ctx)),
+                      {"compactArrays": False})
+    assert out["@graph"][0]["@reverse"]["t"] == {
+        "@id": [{"@id": "http://e/rn"}]}
+
+
+def test_direction_only_value_skips_language_map_terms():
+    # a value with @direction but NO @language must not select a
+    # @language-container term (reference jsonld.py:5271-5282: the
+    # language containers are only added in the @language branch), and the
+    # vocab suffix is unusable because 't' is already a term — the
+    # property compacts to the full IRI
+    ctx = {"@vocab": "http://e/", "@direction": "ltr",
+           "t": {"@container": ["@language", "@set"]}}
+    doc = {"@context": json.loads(json.dumps(ctx)), "t": ""}
+    out = api.compact(doc, json.loads(json.dumps(ctx)),
+                      {"compactArrays": False})
+    assert out["@graph"][0] == {"http://e/t": [""]}
+
+
+def test_null_scoped_context_nullifies_irreversibly():
+    # nullification replaces the working context with a FRESH initial
+    # context, previousContext included (reference jsonld.py:3277) — so a
+    # null TYPE-scoped context survives the new-node-object revert and
+    # reverse/property keys compact to full IRIs
+    ctx = [{"t": {"@context": None}, "@vocab": "http://e/"}]
+    body = {"@type": "t", "@reverse": {"t": {"@id": "http://e/rn"}}}
+    doc = {"@context": json.loads(json.dumps(ctx)), **body}
+    out = api.compact(doc, json.loads(json.dumps(ctx)))
+    assert out["@reverse"] == {"http://e/t": {"@id": "http://e/rn"}}
+    assert out["@type"] == "t"  # @type VALUES still compact via input_ctx

@@ -679,3 +679,56 @@ def test_random_context_link_matches_reference(ctx, body):
             f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, st.booleans(), st.booleans())
+def test_random_context_compaction_options_matches_reference(
+    ctx, body, compact_arrays, graph
+):
+    """Compaction options axis (round-4 wave N+9): the document expands
+    under the RANDOM context too (the base axis fixes the doc context),
+    and compactArrays × graph vary — the two API options that change the
+    output shape everywhere (singleton unwrapping, @graph wrapping)."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": json.loads(json.dumps(ctx)), **body}
+    opts = {"compactArrays": compact_arrays, "graph": graph}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.compact(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(ctx)),
+            dict(opts),
+        )
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.compact(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(ctx)),
+            dict(opts),
+        )
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}\nopts={opts}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert my_out == ref_out, (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}\nopts={opts}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

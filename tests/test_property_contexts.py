@@ -732,3 +732,74 @@ def test_random_context_compaction_options_matches_reference(
             f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}\nopts={opts}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+frame_api_options = st.fixed_dictionaries(
+    {},
+    optional={
+        "embed": st.sampled_from(["@once", "@always", "@never", "@link"]),
+        "explicit": st.booleans(),
+        "requireAll": st.booleans(),
+        "omitDefault": st.booleans(),
+        "omitGraph": st.booleans(),
+        "pruneBlankNodeIdentifiers": st.booleans(),
+    },
+)
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, frames, frame_api_options)
+def test_random_context_framing_options_matches_reference(
+    ctx, body, frame_body, opts
+):
+    """Framing API-options axis (round-4 wave N+10): embed/explicit/
+    requireAll/omitDefault/omitGraph/pruneBlankNodeIdentifiers as API
+    options (the base axis only varies in-frame keywords, which OVERRIDE
+    these — the option defaults and the keyword-absent paths are a
+    separate surface)."""
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    frame_doc = {"@context": json.loads(json.dumps(ctx)), **frame_body}
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.frame(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(frame_doc)),
+            dict(opts),
+        )
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.frame(
+            json.loads(json.dumps(doc)), json.loads(json.dumps(frame_doc)),
+            dict(opts),
+        )
+    except JsonLdError as e:
+        my_code = e.code
+    except RecursionError:
+        my_code = "__recursion__"
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nframe={json.dumps(frame_body)}\nopts={opts}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert my_out == ref_out, (
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nframe={json.dumps(frame_body)}\nopts={opts}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

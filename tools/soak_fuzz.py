@@ -27,6 +27,9 @@ PLAN = {
                    "test_random_context_compaction_matches_reference", 60000),
     "link": ("tests.test_property_contexts",
              "test_random_context_link_matches_reference", 20000),
+    "frameopts": ("tests.test_property_contexts",
+                  "test_random_context_framing_options_matches_reference",
+                  15000),
     "compactopts": ("tests.test_property_contexts",
                     "test_random_context_compaction_options_matches_reference",
                     15000),

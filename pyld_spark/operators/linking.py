@@ -182,7 +182,13 @@ def pmi_pairs(linked: DataFrame, min_pair_count: int = 2) -> DataFrame:
     ``min_pair_count`` prunes the long random-co-occurrence tail before
     the marginal joins.
     """
-    ce = linked.select("conv_id", "entity_iri").distinct()
+    # lazy checkpoint: FOUR consumers read ce (pairs, two marginal joins,
+    # N) — without it Catalyst re-derives the upstream mention extraction
+    # in every branch (verified in the plan audit: 3 extra MapInPandas
+    # subtrees; same hazard semantic_dedup fixed)
+    ce = linked.select("conv_id", "entity_iri").distinct().localCheckpoint(
+        eager=False
+    )
     n_rows = ce.select(
         F.countDistinct("conv_id").alias("n_convs")
     )

@@ -220,13 +220,25 @@ def main() -> None:
             exact_quantiles(documents, "n_chars", by=("lang",), n_bins=64),
     })
 
-    from pyld_spark.operators.sampling import priority_sample
+    from pyld_spark.operators.sampling import cap_per_group, priority_sample
 
     plans.update({
         "priority_sample (one exchange shared by rank + tau windows; "
         "rank cut compiles to WindowGroupLimit k+1 map-side; no Python)":
             priority_sample(documents, "doc_id", "n_chars", k=20,
                             by=("lang",)),
+        "cap_per_group (domain cap: one exchange, WindowGroupLimit "
+        "map-side cut, no Python)":
+            cap_per_group(documents, "doc_id", ("lang", "source"), k=5),
+    })
+
+    from pyld_spark.operators.linking import pmi_pairs
+
+    linked = link_entities(extract_mentions(t))
+    plans.update({
+        "pmi_pairs (distinct shuffle + per-conv pair join + broadcast "
+        "marginals + 1-row broadcast N; exact lift ratio, no log)":
+            pmi_pairs(linked, min_pair_count=1),
     })
 
     out = ["# Physical plans (explain formatted)\n",

@@ -212,11 +212,17 @@ def cap_per_group(
     Plan: one exchange on ``by``; the rank cut compiles to
     WindowGroupLimit (each map task retains ≤ k rows per group before the
     shuffle), no Python.
+
+    ``key_col`` must be non-null: a NULL key hashes to NULL and engines
+    order NULLs differently (Spark ASC = NULLS FIRST, DuckDB = NULLS
+    LAST), so rows with NULL keys are dropped rather than ranked
+    ambiguously.
     """
     if k < 1:
         raise ValueError("cap_per_group needs k >= 1")
     if not by:
         raise ValueError("cap_per_group needs grouping keys")
+    df = df.where(F.col(key_col).isNotNull())
     rank_hex = F.md5(
         F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
     )

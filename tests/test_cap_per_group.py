@@ -60,3 +60,10 @@ def test_plan_window_group_limit_no_python(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_null_keys_dropped(spark):
+    rows = [("a", "g"), (None, "g"), ("b", "g")]
+    df = spark.createDataFrame(rows, "k string, g string")
+    got = cap_per_group(df, "k", ("g",), k=5).collect()
+    assert sorted(r["k"] for r in got) == ["a", "b"]

@@ -152,10 +152,13 @@ def priority_sample(
 
     Output: input columns plus ``priority``, ``weight_est``.  Rows with
     NULL or non-positive weight are excluded (zero-weight rows can never
-    be sampled — DLT define priorities for w > 0).
+    be sampled — DLT define priorities for w > 0), as are rows with a
+    NULL key (a NULL hash would rank NULLS-FIRST in Spark but NULLS-LAST
+    in other engines — same contract as :func:`cap_per_group`).
     """
     if k < 1:
         raise ValueError("priority_sample needs k >= 1")
+    df = df.where(F.col(key_col).isNotNull())
     w = F.col(weight_col).cast("double")
     h48 = F.conv(
         F.substring(

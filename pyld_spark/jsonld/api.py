@@ -234,27 +234,22 @@ def frame(document, frame_doc, options: dict | None = None):
         isinstance(f, dict) and arrayify(f.get("@embed")) == ["@link"]
         for f in expanded_frame
     )
-    compact_opts = {**o, "skipExpansion": True}
+    # the @graph wrapping is COMPACTION's graph option (reference
+    # jsonld.py:832-837 forces options['graph'] = not omitGraph), not a
+    # post-hoc dict surgery — only inside compact can "one empty node"
+    # ([{}] stays [{}]) be told apart from "zero nodes" ([] stays []);
+    # a post-hoc wrap of the already-simplified {} loses that distinction
+    # (soak-found, round-4 framing-options axis)
+    omit_graph = o.get("omitGraph", o["processingMode"] != "json-ld-1.0")
+    compact_opts = {**o, "skipExpansion": True, "graph": not omit_graph}
     if linking:
         compact_opts["_linkMemo"] = {}
     compacted = compact(
         framed, frame_ctx if frame_ctx is not None else {}, compact_opts
     )
-    omit_graph = o.get("omitGraph", o["processingMode"] != "json-ld-1.0")
-    graph_key = None
-    for k, v in (compacted.items() if isinstance(compacted, dict) else []):
-        if k != "@context" and isinstance(v, list):
-            graph_key = k
-            break
     compacted = _cleanup_null(compacted)
     if compacted is None:
         compacted = {}
-    if not omit_graph and isinstance(compacted, dict) and "@graph" not in compacted:
-        inner = {k: v for k, v in compacted.items() if k != "@context"}
-        wrapped = {"@graph": [inner] if inner else []}
-        if "@context" in compacted:
-            wrapped = {"@context": compacted["@context"], **wrapped}
-        compacted = wrapped
     return compacted
 
 

@@ -77,3 +77,17 @@ def test_advanced_frame_matches_reference(name):
     assert equal_unordered(actual, expected), (
         f"{name}:\nmine={actual!r}\nref ={expected!r}"
     )
+
+
+def test_omit_graph_false_keeps_empty_node_vs_zero_nodes():
+    # soak-found (round-4 framing-options axis): the @graph wrap is
+    # COMPACTION's graph option (reference forces graph = not omitGraph,
+    # jsonld.py:832-837) — only inside compact can "one empty node"
+    # ([{}]) be told apart from "zero nodes" ([]); a post-hoc wrap of the
+    # already-simplified {} loses the distinction
+    one_empty = api.frame({"ex:curie": ""}, {},
+                          {"explicit": True, "omitGraph": False})
+    assert one_empty == {"@graph": [{}]}
+    zero = api.frame({"ex:curie": ""}, {"@id": "http://nomatch/"},
+                     {"omitGraph": False})
+    assert zero == {"@graph": []}

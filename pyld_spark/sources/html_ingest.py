@@ -35,6 +35,38 @@ _SCRIPT_RE = re.compile(
     r"<script\b(?P<attrs>[^>]*)>(?P<body>.*?)</script\s*>",
     re.IGNORECASE | re.DOTALL,
 )
+_SCRIPT_OPEN_RE = re.compile(r"<script\b[^>]*>", re.IGNORECASE)
+_SCRIPT_CLOSE_RE = re.compile(r"</script\s*>", re.IGNORECASE)
+
+
+def _visible_html(html: str) -> str:
+    """Drop ``<!-- -->`` comments per the HTML parsing model: a comment
+    can start anywhere EXCEPT inside a script element, whose content is
+    raw text — the markup machinery is off until ``</script>``, so a
+    ``<!--`` inside a JSON payload is DATA, not a comment start (html5
+    script-data state; lxml preserves it verbatim — found by the
+    round-4 page fuzz when a planted payload contained "<!--").
+    An unterminated comment hides everything to EOF (html5 eof-in-comment);
+    an unterminated script is raw text to EOF."""
+    out = []
+    i, n = 0, len(html)
+    while i < n:
+        c = html.find("<!--", i)
+        m = _SCRIPT_OPEN_RE.search(html, i)
+        s = m.start() if m else -1
+        if c == -1 and s == -1:
+            out.append(html[i:])
+            break
+        if c != -1 and (s == -1 or c < s):
+            out.append(html[i:c])
+            e = html.find("-->", c + 4)
+            i = n if e == -1 else e + 3
+        else:
+            close = _SCRIPT_CLOSE_RE.search(html, m.end())
+            end = close.end() if close else n
+            out.append(html[i:end])
+            i = end
+    return "".join(out)
 # starts-with semantics, like the reference's xpath
 # starts-with(@type,"application/ld+json") (jsonld.py:6704): ANY suffix
 # after the prefix matches, including ";profile=..." or junk
@@ -63,8 +95,9 @@ def extract_scripts(html: str, fragment: str | None = None) -> list:
     UNPARSED: the reference parses lazily (first script only unless
     extractAllScripts), so invalid JSON in an unselected script must not
     raise. Comments are stripped first — lxml sees a commented-out
-    ``<script>`` as a comment node, never an element (jsonld.py:6658)."""
-    html = _COMMENT_RE.sub("", html)
+    ``<script>`` as a comment node, never an element (jsonld.py:6658) —
+    but a ``<!--`` INSIDE a script body is raw text, not a comment."""
+    html = _visible_html(html)
     out = []
     for m in _SCRIPT_RE.finditer(html):
         attrs = m.group("attrs")
@@ -83,7 +116,7 @@ def extract_scripts(html: str, fragment: str | None = None) -> list:
 
 
 def html_base(html: str, document_url: str | None = None) -> str | None:
-    m = _BASE_RE.search(_COMMENT_RE.sub("", html))
+    m = _BASE_RE.search(_visible_html(html))
     if m:
         from pyld_spark.jsonld.iri import resolve_iri
 

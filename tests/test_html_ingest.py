@@ -80,3 +80,33 @@ def test_html_to_documents_stage(spark):
     )
     vals = {r.obj_value for r in triples.collect() if r.obj_kind == "literal"}
     assert {"first", "second"} <= vals
+
+
+def test_comment_start_inside_script_body_is_data():
+    # html5 script-data state: "<!--" inside a script element is raw text,
+    # not a comment start — found by the round-4 page fuzz when a planted
+    # JSON payload contained "<!--" and the old strip-comments-first pass
+    # ate the rest of the page
+    from pyld_spark.sources.html_ingest import extract_scripts
+
+    page = (
+        '<html><body>'
+        '<script type="application/ld+json" id="s0">"<!--"</script>'
+        '<!-- <script type="application/ld+json">{"commented": 1}'
+        '</script> -->'
+        '<script type="application/ld+json" id="s1">[]</script>'
+        '</body></html>'
+    )
+    got = extract_scripts(page)
+    assert got == ['"<!--"', "[]"]
+
+
+def test_unterminated_comment_hides_rest_of_page():
+    from pyld_spark.sources.html_ingest import extract_scripts
+
+    page = (
+        '<script type="application/ld+json">1</script>'
+        '<!-- unterminated '
+        '<script type="application/ld+json">2</script>'
+    )
+    assert extract_scripts(page) == ["1"]

@@ -101,6 +101,41 @@ def _q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples
 
 
+def _q_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-materialize delta: toRDF snapshot of the corpus minus
+    every conversation's last turn vs the full corpus — one hash-agg set
+    difference (operators/snapshot.py), no join. Covers rdf:rest rewiring
+    (removed + added rows for the second-to-last cons cell) and whole
+    conversations appearing when their only turn is the "new" one."""
+    from pyspark.sql import Window
+
+    from pyld_spark.operators.snapshot import triple_diff
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    old_t = (
+        t.withColumn("_mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
+        .filter(F.col("turn_idx") < F.col("_mx"))
+        .drop("_mx")
+    )
+    old_triples, _ = split_quarantine(docs_to_triples(assemble_documents(old_t)))
+    new_triples, _ = split_quarantine(docs_to_triples(assemble_documents(t)))
+    return triple_diff(old_triples, new_triples)
+
+
+def _q_void_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style per-predicate dataset description of the full toRDF
+    snapshot (void:triples / distinctSubjects / distinctObjects + object
+    kind split) — the post-refresh sanity check for incremental applies."""
+    from pyld_spark.operators.snapshot import void_summary
+
+    ensure_workers_can_import(spark)
+    triples, _ = split_quarantine(
+        docs_to_triples(assemble_documents(transcripts_from_events(spark, sf_dir)))
+    )
+    return void_summary(triples)
+
+
 def _q_streamed_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline_triples through Structured Streaming file-source REPLAY:
     transcripts → applyInPandasWithState assembly → in-stream mapInArrow
@@ -1018,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_literal_triples": _q_turn_triples,
         "pipeline_triples": _q_pipeline_triples,
         "streamed_pipeline_triples": _q_streamed_pipeline_triples,
+        "triple_diff_last_turn": _q_triple_diff,
+        "void_predicate_summary": _q_void_summary,
         "canonical_nquads": _q_canonical_nquads,
         "linked_mentions": _q_linked_mentions,
         "mention_triples": _q_mention_triples,
@@ -1163,11 +1200,13 @@ def oracle_sql() -> dict[str, str]:
     turn_subj = f"concat('{_CONV}', conv_id, '/turn/', CAST(turn_idx AS STRING))"
     # Full-pipeline oracle: reconstructs the complete toRDF output (including
     # namespaced rdf:first/rest cons-cell bnodes) in portable SQL.
-    pipeline_oracle = f"""{_T_CTE},
-        stats AS (
-          SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
+    # Parameterized by (source transcripts CTE, CTE-name suffix) so the
+    # snapshot-diff / VoID oracles can instantiate it per snapshot.
+    def _pipe_ctes(src: str, sfx: str) -> str:
+        return f"""stats{sfx} AS (
+          SELECT conv_id, count(*) AS n_turns FROM {src} GROUP BY conv_id
         ),
-        base AS (
+        base{sfx} AS (
           SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool,
                  concat('{_CONV}', t.conv_id) AS conv_iri,
                  {turn_subj.replace('conv_id', 't.conv_id').replace('turn_idx', 't.turn_idx')} AS turn_iri,
@@ -1177,47 +1216,89 @@ def oracle_sql() -> dict[str, str]:
                         CAST(t.turn_idx + 1 AS STRING)) AS next_cell,
                  strftime(t.ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_str,
                  s.n_turns
-          FROM transcripts t JOIN stats s ON t.conv_id = s.conv_id
+          FROM {src} t JOIN stats{sfx} s ON t.conv_id = s.conv_id
         ),
-        convs AS (SELECT DISTINCT conv_id, conv_iri,
+        convs{sfx} AS (SELECT DISTINCT conv_id, conv_iri,
                          concat('_:d', substr(sha256(conv_id), 1, 16), '_b0') AS head
-                  FROM base)
+                  FROM base{sfx}),
+        triples{sfx} AS (
         SELECT conv_id AS doc_id, conv_iri AS subj, '{_RDF}type' AS pred,
                'IRI' AS obj_kind, '{_VOCAB}Conversation' AS obj_value,
                CAST(NULL AS STRING) AS obj_datatype, CAST(NULL AS STRING) AS obj_language,
                '@default' AS graph
-        FROM convs
+        FROM convs{sfx}
         UNION ALL
         SELECT conv_id, conv_iri, '{_VOCAB}turns', 'blank node', head,
-               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM convs
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM convs{sfx}
         UNION ALL
         SELECT conv_id, cell, '{_RDF}first', 'IRI', turn_iri,
-               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base{sfx}
         UNION ALL
         SELECT conv_id, cell, '{_RDF}rest',
                CASE WHEN turn_idx = n_turns - 1 THEN 'IRI' ELSE 'blank node' END,
                CASE WHEN turn_idx = n_turns - 1 THEN '{_RDF}nil' ELSE next_cell END,
-               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base{sfx}
         UNION ALL
         SELECT conv_id, turn_iri, '{_RDF}type', 'IRI', '{_VOCAB}Turn',
-               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base
+               CAST(NULL AS STRING), CAST(NULL AS STRING), '@default' FROM base{sfx}
         UNION ALL
         SELECT conv_id, turn_iri, '{_VOCAB}turnIndex', 'literal',
                CAST(turn_idx AS STRING), '{_XSD}integer', CAST(NULL AS STRING),
-               '@default' FROM base
+               '@default' FROM base{sfx}
         UNION ALL
         SELECT conv_id, turn_iri, '{_VOCAB}role', 'literal', role,
-               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base
+               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base{sfx}
         UNION ALL
         SELECT conv_id, turn_iri, '{_VOCAB}text', 'literal', text,
-               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base
+               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base{sfx}
         UNION ALL
         SELECT conv_id, turn_iri, '{_VOCAB}tool', 'literal', tool,
-               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base
+               '{_XSD}string', CAST(NULL AS STRING), '@default' FROM base{sfx}
         WHERE tool IS NOT NULL
         UNION ALL
         SELECT conv_id, turn_iri, '{_VOCAB}ts', 'literal', ts_str,
-               '{_XSD}dateTime', CAST(NULL AS STRING), '@default' FROM base"""
+               '{_XSD}dateTime', CAST(NULL AS STRING), '@default' FROM base{sfx})"""
+
+    pipeline_oracle = f"""{_T_CTE},
+        {_pipe_ctes('transcripts', '')}
+        SELECT * FROM triples"""
+    # snapshot diff: old = every conversation minus its last turn (so the
+    # rdf:rest rewiring, the vanished tail cell, and one-turn conversations
+    # disappearing entirely all show up); new = the full corpus.
+    diff_oracle = f"""{_T_CTE},
+        nmax AS (SELECT conv_id, max(turn_idx) AS mx
+                 FROM transcripts GROUP BY conv_id),
+        transcripts_old AS (
+          SELECT t.* FROM transcripts t JOIN nmax n ON t.conv_id = n.conv_id
+          WHERE t.turn_idx < n.mx),
+        {_pipe_ctes('transcripts_old', '_o')},
+        {_pipe_ctes('transcripts', '_n')},
+        tagged AS (
+          SELECT *, 0 AS _side FROM triples_o
+          UNION ALL
+          SELECT *, 1 AS _side FROM triples_n),
+        flagged AS (
+          SELECT doc_id, subj, pred, obj_kind, obj_value, obj_datatype,
+                 obj_language, graph,
+                 max(CASE WHEN _side = 0 THEN 1 ELSE 0 END) AS in_old,
+                 max(CASE WHEN _side = 1 THEN 1 ELSE 0 END) AS in_new
+          FROM tagged
+          GROUP BY doc_id, subj, pred, obj_kind, obj_value, obj_datatype,
+                   obj_language, graph)
+        SELECT doc_id, subj, pred, obj_kind, obj_value, obj_datatype,
+               obj_language, graph,
+               CASE WHEN in_new = 1 THEN 'added' ELSE 'removed' END AS change
+        FROM flagged WHERE in_old <> in_new"""
+    void_oracle = f"""{_T_CTE},
+        {_pipe_ctes('transcripts', '')}
+        SELECT pred,
+               count(*) AS n_triples,
+               count(DISTINCT subj) AS n_subjects,
+               count(DISTINCT obj_value) AS n_objects,
+               count(CASE WHEN obj_kind = 'IRI' THEN 1 END) AS n_iri_objs,
+               count(CASE WHEN obj_kind = 'literal' THEN 1 END) AS n_literal_objs,
+               count(CASE WHEN obj_kind = 'blank node' THEN 1 END) AS n_bnode_objs
+        FROM triples GROUP BY pred"""
     mentions_cte = f"""m AS (
           SELECT conv_id, turn_idx, 'handle' AS mention_kind,
                  unnest(regexp_extract_all(text, '@[A-Za-z0-9_]+')) AS mention
@@ -2470,6 +2551,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT instance, cls, max(asserted) AS asserted
             FROM all_rows GROUP BY instance, cls""",
         "pipeline_triples": pipeline_oracle,
+        "triple_diff_last_turn": diff_oracle,
+        "void_predicate_summary": void_oracle,
         # streaming replay must emit EXACTLY the batch result — same oracle
         "streamed_pipeline_triples": pipeline_oracle,
         "transcripts_from_events": (

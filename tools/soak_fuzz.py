@@ -53,6 +53,15 @@ PLAN = {
                 "test_random_quads_fromrdf_matches_reference", 20000),
     "fromrdf_rt": ("tests.test_property_fromrdf",
                    "test_random_quads_roundtrip_through_tordf", 10000),
+    "nquads": ("tests.test_property_nquads",
+               "test_parse_nquads_matches_reference", 10000),
+    "nquads_bad": ("tests.test_property_nquads",
+                   "test_malformed_lines_rejected_like_reference", 10000),
+    "relativize": ("tests.test_property_nquads",
+                   "test_relativize_matches_reference_unresolve", 10000),
+    "jcs": ("tests.test_property_jcs", "test_jcs_matches_reference", 10000),
+    "linkheader": ("tests.test_property_link_header",
+                   "test_parse_link_header_matches_reference", 5000),
 }
 
 

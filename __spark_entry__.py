@@ -541,6 +541,17 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation keep-list: language → quality → exact dedup →
+    holdout → decontamination, first failing stage recorded as the drop
+    reason (operators/curation.py). One ledger row per document."""
+    from pyld_spark.operators.curation import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir), lang="en", min_quality=0.5, decontaminate_n=3
+    )
+
+
 def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time attribution: each purchase event gets the most recent
     error event by the same user at-or-before it, nulled if staler than
@@ -1075,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "doc_splits": _q_doc_splits,
         "train_decontaminate": _q_decontaminate,
+        "curation_ledger": _q_curation_ledger,
         "pack_sequences": _q_pack_sequences,
         "event_sessions": _q_event_sessions,
         "asof_attribution": _q_asof_attribution,
@@ -2158,6 +2170,89 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM splits s LEFT JOIN hits h ON h.doc_id = s.doc_id
             WHERE s.split = 'train'""",
+        # composed curation ledger: replays each stage's own oracle and the
+        # first-failing-stage reason ladder (operators/curation.py)
+        "curation_ledger": f"""
+            WITH lh AS (
+              SELECT doc_id,
+                {lang_hits('de')} AS h_de, {lang_hits('en')} AS h_en,
+                {lang_hits('es')} AS h_es, {lang_hits('fr')} AS h_fr
+              FROM documents),
+            lang AS (
+              SELECT doc_id,
+                CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                     WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                     WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                     WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                     ELSE 'de' END AS pred_lang
+              FROM lh),
+            qst AS (
+              SELECT doc_id,
+                CAST(len({toks}) AS BIGINT) AS n_tokens,
+                round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                      / greatest(length(text), 1), 4) AS punct_ratio,
+                CASE WHEN len({toks}) > 0
+                     THEN round(list_sum(list_transform({toks}, t -> length(t)))
+                                / CAST(len({toks}) AS DOUBLE), 4)
+                     ELSE 0.0 END AS mean_word_len
+              FROM documents),
+            qual AS (
+              SELECT doc_id,
+                round(least(n_tokens / 50.0, 1.0) * 0.4
+                      + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                              THEN 1.0 ELSE 0.5 END) * 0.3
+                      + greatest(0.0, 1.0 - punct_ratio * 4) * 0.3, 4) AS quality
+              FROM qst),
+            ch AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+            dup AS (
+              SELECT ch.doc_id, ch.doc_id != s.survivor_id AS is_duplicate
+              FROM ch JOIN (SELECT content_hash, min(doc_id) AS survivor_id
+                            FROM ch GROUP BY 1) s USING (content_hash)),
+            gsplits AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')) - 2, 0) + 1),
+                       i -> array_to_string(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')[i:i+2], ' '))) AS grams,
+                     CASE WHEN {split_bucket} < '{_hex_threshold(0.9)}'
+                            THEN 'train'
+                          WHEN {split_bucket} < '{_hex_threshold(0.95)}'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents),
+            te_grams AS MATERIALIZED (
+              SELECT DISTINCT unnest(grams) AS gram FROM gsplits
+              WHERE split = 'test'),
+            contam AS (
+              SELECT t.doc_id, count(*) > 0 AS contaminated
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM gsplits
+                    WHERE split = 'train') t
+              JOIN te_grams g USING (gram)
+              GROUP BY t.doc_id),
+            merged AS (
+              SELECT sp.doc_id, sp.split, lang.pred_lang, qual.quality,
+                     dup.is_duplicate,
+                     coalesce(c.contaminated, false) AS contaminated
+              FROM gsplits sp
+              JOIN lang USING (doc_id)
+              JOIN qual USING (doc_id)
+              JOIN dup USING (doc_id)
+              LEFT JOIN contam c ON c.doc_id = sp.doc_id),
+            ledger AS (
+              SELECT *,
+                CASE WHEN pred_lang <> 'en' THEN 'lang'
+                     WHEN quality < 0.5 THEN 'quality'
+                     WHEN is_duplicate THEN 'exact_dup'
+                     WHEN split <> 'train' THEN 'holdout'
+                     WHEN contaminated THEN 'contaminated'
+                     ELSE 'kept' END AS reason
+              FROM merged)
+            SELECT doc_id, split, pred_lang, quality, is_duplicate,
+                   contaminated, reason, reason = 'kept' AS keep
+            FROM ledger""",
         # window-sum replay of pack_sequences: same (lang, shard) partition,
         # same doc_id order, same BPE-ish token count as text_stats
         "pack_sequences": """

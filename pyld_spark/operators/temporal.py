@@ -92,8 +92,12 @@ def asof_join(
         order = [F.col("_asof_ts").asc(), F.col("_asof_tag").asc(),
                  F.col("_asof_tie").asc()]
     else:
+        # tie stays ASC even though ts flips: in both directions the
+        # LAST right row the running `last()` sees at an equal timestamp
+        # must be the largest tie_col, so largest-tie-wins is the contract
+        # regardless of direction
         order = [F.col("_asof_ts").desc(), F.col("_asof_tag").asc(),
-                 F.col("_asof_tie").desc()]
+                 F.col("_asof_tie").asc()]
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)

@@ -144,3 +144,21 @@ def test_plan_is_single_exchange_no_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_equal_ts_tie_largest_wins_both_directions(spark):
+    # Two right rows at exactly the left row's timestamp: the largest
+    # tie_col wins in BOTH directions (regression — forward used to pick
+    # the smallest).
+    from pyld_spark.operators.temporal import asof_join
+
+    l, r = _frames(
+        spark,
+        [(1, _ts(10), "a")],
+        [(1, _ts(10), 1, "x"), (1, _ts(10), 2, "y")],
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            l, r, tie_col="event_id", direction=direction
+        ).collect()
+        assert out[0].event_id_asof == 2, direction

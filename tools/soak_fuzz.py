@@ -60,13 +60,32 @@ PLAN = {
     "relativize": ("tests.test_property_nquads",
                    "test_relativize_matches_reference_unresolve", 10000),
     "jcs": ("tests.test_property_jcs", "test_jcs_matches_reference", 10000),
+    # Spark-operator axes (pure-Python replays, no reference): the as-of
+    # forward-tie bug hid below the 25-example pytest default — soak these
+    "asof": ("tests.test_property_temporal",
+             "test_asof_join_matches_python_replay", 2000),
+    "interval": ("tests.test_property_temporal",
+                 "test_interval_join_matches_brute_force", 2000),
     "linkheader": ("tests.test_property_link_header",
                    "test_parse_link_header_matches_reference", 5000),
 }
 
 
+_SPARK = None
+
+
+def _spark():
+    global _SPARK
+    if _SPARK is None:
+        from pyld_spark.session import get_spark
+
+        _SPARK = get_spark("soak_fuzz", cpus=8, shuffle_partitions=8)
+    return _SPARK
+
+
 def run_axis(name: str, module: str, fn_name: str, n: int) -> float:
     import importlib
+    import inspect
 
     mod = importlib.import_module(module)
     fn = getattr(mod, fn_name)
@@ -74,9 +93,12 @@ def run_axis(name: str, module: str, fn_name: str, n: int) -> float:
         max_examples=n, deadline=None, database=None,
         suppress_health_check=list(HealthCheck),
     )
+    # Spark-operator axes declare the pytest `spark` fixture as their first
+    # parameter; @given leaves it as a required positional on the wrapper
+    needs_spark = "spark" in inspect.signature(fn).parameters
     t0 = time.time()
     try:
-        fn()
+        fn(_spark()) if needs_spark else fn()
     except Exception as e:  # noqa: BLE001 — print sub-notes for shrunk examples
         print(f"FAIL {name}: {type(e).__name__}: {e}")
         for note in getattr(e, "__notes__", []) or []:

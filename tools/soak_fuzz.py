@@ -100,13 +100,19 @@ def run_axis(name: str, module: str, fn_name: str, n: int) -> float:
     try:
         fn(_spark()) if needs_spark else fn()
     except Exception as e:  # noqa: BLE001 — print sub-notes for shrunk examples
-        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        # prefix EVERY line so a `grep FAIL` pipeline keeps the whole
+        # multi-line assertion message and falsifying example
+        def _emit(tag: str, text: str) -> None:
+            for ln in str(text).splitlines() or [""]:
+                print(f"FAIL {name} {tag}| {ln}")
+
+        _emit("exc", f"{type(e).__name__}: {e}")
         for note in getattr(e, "__notes__", []) or []:
-            print("  note:", note)
+            _emit("note", note)
         for sub in getattr(e, "exceptions", []) or []:
-            print("  sub:", sub)
+            _emit("sub", f"{type(sub).__name__}: {sub}")
             for note in getattr(sub, "__notes__", []) or []:
-                print("    note:", note)
+                _emit("subnote", note)
         raise
     return time.time() - t0
 

@@ -708,15 +708,17 @@ def compact(
                 elif "@index" in container:
                     index_key = idef.index if idef is not None and idef.index else "@index"
                     if index_key == "@index":
+                        # the reference only DELETES the compacted @index
+                        # entry (jsonld.py:1861-1870) — it never unwraps a
+                        # single-entry node; a node holding one property
+                        # stays a node inside the index map (soak-found:
+                        # expansion turns {"@graph": [...]} under a plain
+                        # @index container into @index="@graph" on the
+                        # inner NODE, which must survive compaction whole)
                         key = expanded_item.get("@index")
                         if isinstance(compacted_item, dict):
                             idx_alias = compact_iri(active, "@index", vocab=True)
                             compacted_item.pop(idx_alias, None)
-                            if len(compacted_item) == 1 and compact_arrays:
-                                only = next(iter(compacted_item))
-                                odef = active.terms.get(only)
-                                if odef is not None:
-                                    compacted_item = compacted_item[only]
                     else:
                         # property-valued index: expand the term's @index
                         # mapping, take the FIRST expanded index value, and

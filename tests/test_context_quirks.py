@@ -585,3 +585,16 @@ def test_null_scoped_context_nullifies_irreversibly():
     out = api.compact(doc, json.loads(json.dumps(ctx)))
     assert out["@reverse"] == {"http://e/t": {"@id": "http://e/rn"}}
     assert out["@type"] == "t"  # @type VALUES still compact via input_ctx
+
+
+def test_index_map_node_item_is_not_unwrapped():
+    # under a plain @index container, expansion turns {"@graph": [...]}
+    # into an index-map entry: the inner NODE carries @index="@graph".
+    # Compaction deletes the compacted @index entry but must NOT unwrap a
+    # single-property node to its value (reference jsonld.py:1861-1870
+    # has no such collapse; soak wave N+12)
+    ctx = [{"@vocab": "http://e/", "t": {"@container": "@index"}}]
+    doc = {"@context": json.loads(json.dumps(ctx)),
+           "@id": "http://e/n", "t": {"@graph": [{"t": ""}]}}
+    out = api.compact(doc, {"@context": json.loads(json.dumps(ctx))})
+    assert out["t"] == {"@graph": {"t": {"@none": ""}}}

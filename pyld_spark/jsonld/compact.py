@@ -526,11 +526,17 @@ def compact(
 
         if expanded_property == "@id":
             value = element["@id"]
-            compacted = (
-                compact_iri(active, value)
-                if isinstance(value, str)
-                else [compact_iri(active, v) for v in value]
-            )
+            if value is None:
+                # None-keyed @set node leaking out of the node map — the
+                # reference crashes before reaching compaction here; we
+                # stay graceful and pass the null through
+                compacted = None
+            else:
+                compacted = (
+                    compact_iri(active, value)
+                    if isinstance(value, str)
+                    else [compact_iri(active, v) for v in value]
+                )
             alias = compact_iri(active, "@id", vocab=True)
             result[alias] = compacted
             continue

@@ -19,6 +19,7 @@ from pyld_spark.jsonld.expand import is_list_object, is_value_object
 from pyld_spark.jsonld.iri import is_absolute_iri as _is_absolute_iri
 from pyld_spark.jsonld.nodemap import (
     IdentifierIssuer,
+    _sort_ids as _sorted_ids,
     add_value,
     build_node_map,
     merge_node_map_graphs,
@@ -74,7 +75,7 @@ def frame_expanded(
     state = FrameState(node_map, graph, o)
 
     result: list = []
-    match_frame(state, sorted(state.subjects), expanded_frame, result, None)
+    match_frame(state, _sorted_ids(state.subjects), expanded_frame, result, None)
 
     result = cleanup_preserve(result, state)
     if o["pruneBlankNodeIdentifiers"]:
@@ -404,7 +405,7 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
             continue
 
         output = {"@id": id_}
-        if id_.startswith("_:"):
+        if isinstance(id_, str) and id_.startswith("_:"):
             state.bnode_map.setdefault(id_, []).append(output)
 
         state.link[id_] = output
@@ -458,7 +459,7 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
                 state.graph = id_
                 state.unique_embeds.setdefault(id_, {})
                 match_frame(
-                    state, sorted(state.subjects), subframe, output, "@graph",
+                    state, _sorted_ids(state.subjects), subframe, output, "@graph",
                     embedded=False,
                 )
                 state.graph = state.graph_stack.pop()

@@ -212,12 +212,17 @@ def create_node_map(
         id_ = element.pop("@id")
         if id_ is None or (isinstance(id_, str) and id_.startswith("_:")):
             id_ = issuer.get_id(id_)
+    elif "@set" in element:
+        # reference _is_bnode (jsonld.py:678-691): an object with no @id
+        # but an @set key (expansion garbage reachable only via @nest) is
+        # NOT a blank node — it lands under key None in the node map, and
+        # its value-object properties silently drop (no string subject to
+        # attach to). Mirrored for parity; soak wave N+12.
+        id_ = None
     else:
         id_ = issuer.get_id(None)
 
-    if isinstance(id_, str):
-        graph.setdefault(id_, {"@id": id_})
-    node = graph[id_]
+    node = graph.setdefault(id_, {"@id": id_})
 
     if isinstance(active_subject, dict):
         # reverse property: add active_subject (a reference map) under property
@@ -225,8 +230,15 @@ def create_node_map(
     elif active_property is not None:
         reference = {"@id": id_}
         if list_ is None:
-            subject_node = graph[active_subject]
-            add_value(subject_node, active_property, reference, allow_duplicate=False)
+            # reference jsonld.py:4216-4224: the back-reference attaches
+            # only when the parent subject is a string (a None-keyed @set
+            # parent has no subject to hold it)
+            if isinstance(active_subject, str):
+                subject_node = graph[active_subject]
+                add_value(
+                    subject_node, active_property, reference,
+                    allow_duplicate=False,
+                )
         else:
             list_["@list"].append(reference)
 
@@ -276,6 +288,16 @@ def create_node_map(
             continue
         if prop.startswith("_:"):
             prop = issuer.get_id(prop)
+        if id_ is None:
+            # None-keyed @set node: reference records only EMPTY property
+            # arrays on it (jsonld.py:4285-4287); non-empty values recurse
+            # with no string subject, so value objects and back-references
+            # drop while child NODES still enter the graph
+            if not values:
+                node.setdefault(prop, [])
+            else:
+                create_node_map(values, node_map, issuer, active_graph, id_, prop)
+            continue
         node.setdefault(prop, [])
         # pure-literal fast path: a list of value objects needs none of the
         # recursion machinery — each lands via the same add_value call the
@@ -323,9 +345,9 @@ def merge_node_map_graphs(node_map: dict) -> dict:
     merged: dict = {}
     # no relabeling: build_node_map used a single issuer, so bnode labels are
     # already unique across graphs (and references inside values share them)
-    for name in sorted(node_map):
+    for name in _sort_ids(node_map):
         graph = node_map[name]
-        for id_ in sorted(graph):
+        for id_ in _sort_ids(graph):
             node = graph[id_]
             m = merged.setdefault(id_, {"@id": id_})
             for prop, values in node.items():
@@ -343,20 +365,27 @@ def merge_node_map_graphs(node_map: dict) -> dict:
     return {"@merged": merged}
 
 
+def _sort_ids(keys) -> list:
+    """Sort subject/graph keys, tolerating the None key a no-@id @set node
+    produces (the reference's plain sorted() crashes on None-vs-str — we
+    stay graceful and order None first)."""
+    return sorted(keys, key=lambda k: (k is not None, k if k is not None else ""))
+
+
 def flatten(expanded: list) -> list:
     """Flattening Algorithm: expanded form → flat array of subject nodes."""
     node_map = build_node_map(expanded)
     default_graph = node_map["@default"]
-    for graph_name in sorted(k for k in node_map if k != "@default"):
+    for graph_name in _sort_ids(k for k in node_map if k != "@default"):
         entry = default_graph.setdefault(graph_name, {"@id": graph_name})
         graph = node_map[graph_name]
         entry.setdefault("@graph", [])
-        for id_ in sorted(graph):
+        for id_ in _sort_ids(graph):
             node = graph[id_]
             if not (set(node) == {"@id"}):
                 entry["@graph"].append(node)
     return [
         default_graph[id_]
-        for id_ in sorted(default_graph)
+        for id_ in _sort_ids(default_graph)
         if set(default_graph[id_]) != {"@id"}
     ]

@@ -167,18 +167,25 @@ def node_map_to_quads(node_map: dict, issuer: IdentifierIssuer,
     # predicate IRIs repeat across every subject: build each term dict once
     # (terms are treated as immutable downstream)
     pred_cache: dict = {"@type": {"type": "IRI", "value": RDF_TYPE}}
-    for graph_name in sorted(node_map):
+    # None keys (no-@id @set nodes) sort tolerantly and then skip below,
+    # like any other non-IRI non-bnode name — the reference crashes first
+    key = lambda k: (k is not None, k if k is not None else "")  # noqa: E731
+    for graph_name in sorted(node_map, key=key):
         graph = node_map[graph_name]
         if graph_name == "@default":
             gname = "@default"
+        elif not isinstance(graph_name, str):
+            continue
         elif graph_name.startswith("_:"):
             gname = graph_name
         elif is_absolute_iri(graph_name):
             gname = graph_name
         else:
             continue
-        for subject in sorted(graph):
+        for subject in sorted(graph, key=key):
             node = graph[subject]
+            if not isinstance(subject, str):
+                continue
             if subject.startswith("_:"):
                 subj = {"type": "blank node", "value": subject}
             elif is_absolute_iri(subject):

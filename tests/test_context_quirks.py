@@ -598,3 +598,26 @@ def test_index_map_node_item_is_not_unwrapped():
            "@id": "http://e/n", "t": {"@graph": [{"t": ""}]}}
     out = api.compact(doc, {"@context": json.loads(json.dumps(ctx))})
     assert out["t"] == {"@graph": {"t": {"@none": ""}}}
+
+
+def test_set_keyed_node_is_not_a_blank_node():
+    # reference _is_bnode (jsonld.py:678-691): an object with no @id but
+    # an @set key — reachable only via @nest expansion garbage — is NOT a
+    # blank node. It lands under key None in the node map, keeps only its
+    # keyword entries and empty-array properties, and drops value-object
+    # properties (no string subject to attach them to). Soak wave N+12.
+    ctx = [{"t": "@nest", "@vocab": "http://e/"}]
+    doc = {"@context": json.loads(json.dumps(ctx)),
+           "@type": "t", "term2": "", "t": {"@set": []}}
+    flat = api.flatten(json.loads(json.dumps(doc)))
+    assert flat == [{"@id": None, "@set": [], "@type": ["@nest"]}]
+    # the unmatched frame drops the node entirely (reference parity)
+    framed = api.frame(json.loads(json.dumps(doc)),
+                       {"@context": json.loads(json.dumps(ctx)), "term2": {}})
+    assert framed == {"@context": {"t": "@nest", "@vocab": "http://e/"}}
+    # graceful-divergence surface (reference crashes on all of these):
+    # empty frame embeds the None node; RDF conversion skips it
+    out = api.frame(json.loads(json.dumps(doc)),
+                    {"@context": json.loads(json.dumps(ctx))})
+    assert out["@id"] is None
+    assert api.to_rdf(json.loads(json.dumps(doc))) == []

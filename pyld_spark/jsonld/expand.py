@@ -723,6 +723,12 @@ def _expand_keyword(
             result["@value"] = value if isinstance(value, list) else [value]
         elif value is None or isinstance(value, (str, int, float, bool)):
             result["@value"] = value
+        elif isinstance(value, list) and not value:
+            # add_value of an empty array adds NOTHING (reference
+            # jsonld.py:1195-1203), so the array-shape validation at
+            # jsonld.py:2732 never sees a "@value" key: the key silently
+            # vanishes and the remaining keys expand as a plain node object
+            pass
         else:
             raise JsonLdError("@value must be scalar/null", "invalid value object value")
         return True
@@ -913,32 +919,42 @@ def _expand_index_map(st, active_ctx, term_ctx, key, defn, container, value, bas
     # and its custom index, reverting to plain @index
     tdefn = term_ctx.terms.get(key)
     index_key = tdefn.index if tdefn is not None and tdefn.index else "@index"
+    is_property_index = "@index" in container and index_key != "@index"
+    property_index = None
+    if is_property_index:
+        # reference quirk (jsonld.py:2619-2623): the index property is
+        # vocab-expanded only when a non-empty API base option is set
+        # (`vocab=options.get('base', '')`) — with no base the raw term
+        # string is used as the output key; expanded in the OUTER context
+        # (call-site jsonld.py:2620, before the map context is derived)
+        property_index = expand_iri(active_ctx, index_key, vocab=bool(base_url))
+    # effective index key + map base context, per the reference's dispatch
+    # (jsonld.py:2613-2645): @index and @id maps expand keys AND values
+    # under the TERM-SCOPED context; @type maps start from its
+    # previous-context revert
+    if "@index" in container:
+        eff_index_key = index_key
+        map_ctx = term_ctx
+    elif "@id" in container:
+        eff_index_key = "@id"
+        map_ctx = term_ctx
+    else:
+        eff_index_key = "@type"
+        map_ctx = term_ctx.previous if term_ctx.previous is not None else term_ctx
     for index in sorted(value):
         items = value[index]
-        map_context = active_ctx
-        if container & {"@id", "@type"}:
-            idef = active_ctx.terms.get(index)
-            if "@type" in container and idef is not None and idef.context is not UNSET:
-                map_context = process_context(
-                    active_ctx, idef.context, idef.context_base, loader=st.loader
+        if eff_index_key == "@type":
+            # a @type-map KEY with its own type-scoped context mutates the
+            # map context CUMULATIVELY — later (sorted) keys see it
+            # (reference jsonld.py:3673-3680, propagate=False)
+            idef = map_ctx.terms.get(index)
+            if idef is not None and idef.context is not UNSET:
+                map_ctx = process_context(
+                    map_ctx, idef.context, idef.context_base,
+                    loader=st.loader, propagate=False,
                 )
-        expanded_index = expand_iri(active_ctx, index, vocab=True)
-        expanded_items = _expand(st, map_context, key, arrayify(items), base_url, from_map=True)
-        is_property_index = "@index" in container and index_key != "@index"
-        property_index = None
-        if is_property_index:
-            # reference quirk (jsonld.py:2619-2623): the index property is
-            # vocab-expanded only when a non-empty API base option is set
-            # (`vocab=options.get('base', '')`) — with no base the raw term
-            # string is used as the output key
-            property_index = expand_iri(active_ctx, index_key, vocab=bool(base_url))
-        # effective index key for the reference's add chain
-        # (jsonld.py:3704-3743)
-        eff_index_key = (
-            index_key if "@index" in container
-            else "@id" if "@id" in container
-            else "@type"
-        )
+        expanded_index = expand_iri(map_ctx, index, vocab=True)
+        expanded_items = _expand(st, map_ctx, key, arrayify(items), base_url, from_map=True)
         def _require_object(item):
             # a non-object item reaching an index-key assignment only
             # arises from frame-mode value patterns; the reference dies
@@ -979,7 +995,7 @@ def _expand_index_map(st, active_ctx, term_ctx, key, defn, container, value, bas
                 # 3731-3739)
                 if index != "@none":
                     _require_object(item)
-                    re_expanded = _expand_value(active_ctx, index_key, index)
+                    re_expanded = _expand_value(map_ctx, index_key, index)
                     existing = arrayify(item.get(property_index))
                     item[property_index] = [re_expanded] + existing
             elif expanded_index != "@none":
@@ -996,7 +1012,7 @@ def _expand_index_map(st, active_ctx, term_ctx, key, defn, container, value, bas
                     _require_object(item)
                     if eff_index_key == "@id":
                         item["@id"] = expand_iri(
-                            active_ctx, index, document_relative=True
+                            map_ctx, index, document_relative=True
                         )
                     else:
                         item[eff_index_key] = index

@@ -621,3 +621,58 @@ def test_set_keyed_node_is_not_a_blank_node():
                     {"@context": json.loads(json.dumps(ctx))})
     assert out["@id"] is None
     assert api.to_rdf(json.loads(json.dumps(doc))) == []
+
+
+def test_empty_array_value_key_silently_vanishes():
+    # reference add_value of an empty array adds NOTHING (jsonld.py:
+    # 1195-1203), so "@value": [] never lands in the expanded parent and
+    # the must-not-be-an-array validation (jsonld.py:2732) never fires:
+    # the key vanishes and the leftover keys expand as a plain node
+    # object. Non-empty arrays still error. Soak wave N+13.
+    ctx = {"@vocab": "http://e/"}
+    def ex(body):
+        return api.expand({"@context": dict(ctx), "t": body})
+    assert ex({"@value": []}) == [{"http://e/t": [{}]}]
+    assert ex({"@value": [], "@language": "en"}) == []  # only-@language drop
+    assert ex({"@value": [], "@index": "vi"}) == [
+        {"http://e/t": [{"@index": "vi"}]}]
+    assert ex({"@value": [], "@type": "http://e/dt"}) == [
+        {"http://e/t": [{"@type": ["http://e/dt"]}]}]
+    # @type @json keeps the raw [] as a JSON literal value
+    assert ex({"@value": [], "@type": "@json"}) == [
+        {"http://e/t": [{"@type": "@json", "@value": []}]}]
+    # leftover property keys become a real embedded node
+    assert ex({"@value": [], "t": "x"}) == [
+        {"http://e/t": [{"http://e/t": [{"@value": "x"}]}]}]
+    with pytest.raises(JsonLdError) as ei:
+        ex({"@value": ["a"]})
+    assert ei.value.code == "invalid value object value"
+
+
+def test_type_map_keys_expand_under_scoped_context():
+    # reference jsonld.py:3673-3680: in a @type-container map, each KEY's
+    # type-scoped context is processed (propagate=False) into the map
+    # context BEFORE expanding both the value and the key itself — and the
+    # mutation is CUMULATIVE across the sorted keys. The map base context
+    # is the term context's previous-context revert (jsonld.py:2637-2641).
+    # Soak wave N+13.
+    E = "http://e/"
+    doc = {"@context": [{"t": {
+        "@language": "en", "@id": E + "t", "@container": "@type",
+        "@context": {"t": {"@id": E + "shadow", "@type": "@id"}}}}],
+        "t": {"t": ""}}
+    assert api.expand(json.loads(json.dumps(doc))) == [{
+        "http://e/t": [{
+            "@id": "http://example.org/base/",
+            "@type": ["http://e/shadow"],
+        }],
+    }]
+    # cumulative: key "a"'s scoped context defines "b" for the LATER key
+    doc2 = {"@context": {"@vocab": E,
+                         "a": {"@id": E + "a",
+                               "@context": {"b": E + "bscoped"}},
+                         "m": {"@id": E + "m", "@container": "@type"}},
+            "m": {"a": {"x": "1"}, "b": {"x": "2"}}}
+    out = api.expand(json.loads(json.dumps(doc2)))
+    types = sorted(t for n in out[0]["http://e/m"] for t in n["@type"])
+    assert types == ["http://e/a", "http://e/bscoped"]

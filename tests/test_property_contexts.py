@@ -88,6 +88,14 @@ contexts = st.one_of(
             "term2": _term_def(),
             "ex": st.sampled_from([EX, {"@id": EX, "@prefix": True}]),
             "xsd": st.just("http://www.w3.org/2001/XMLSchema#"),
+            # wave N+13 grammar: terms whose NAME is an absolute IRI, a
+            # compact IRI, or keyword-shaped — each walks a different
+            # branch of create_term_definition's name validation
+            EX + "t": st.sampled_from(
+                [EX + "renamed", {"@type": "@id"}, {"@id": EX + "other"}]),
+            "ex:suf": st.sampled_from(
+                [EX + "cdef", {"@id": None}, {"@container": "@set"}]),
+            "@reserved": st.sampled_from([EX + "resv", {"@id": EX + "r2"}]),
         },
     ),
     st.lists(
@@ -99,6 +107,24 @@ contexts = st.one_of(
         max_size=3,
     ),
 )
+
+# wave N+13: contexts embedded INSIDE body node objects — exercises the
+# previous-context revert, @propagate=False restoration, protected-term
+# redefinition, and term shadowing on the expansion recursion path (the
+# top-level `contexts` strategy only ever feeds the document context)
+nested_contexts = st.sampled_from([
+    None,
+    {"t": EX + "override"},
+    {"t": None},
+    {"@vocab": EX + "v2/"},
+    {"@vocab": None},
+    {"@language": "fr", "@direction": "rtl"},
+    {"t": {"@id": EX + "deep", "@container": "@list"}},
+    {"term2": {"@id": EX + "n2", "@protected": True}},
+    {"@propagate": False, "t": EX + "noprop"},
+    [None, {"t": EX + "after-null"}],
+    {"@base": EX + "sub/"},
+])
 
 bodies = st.fixed_dictionaries(
     {},
@@ -135,6 +161,29 @@ bodies = st.fixed_dictionaries(
                 st.fixed_dictionaries({}, optional={
                     "t": st.text(max_size=3), "@id": st.just(EX + "g")}),
                 max_size=2)}),
+            # wave N+13: child node with its OWN inline @context
+            st.fixed_dictionaries(
+                {"@context": nested_contexts},
+                optional={
+                    "t": st.text(max_size=3),
+                    "term2": st.text(max_size=3),
+                    "@id": st.just(EX + "c2"),
+                    "@type": st.sampled_from(["t", "term2"]),
+                }),
+            # wave N+13: fuller value-object surface (@direction/@language/
+            # @type interactions, @json values, indexed values)
+            st.fixed_dictionaries(
+                {"@value": st.one_of(
+                    st.text(max_size=3), st.integers(-3, 3), st.booleans(),
+                    st.fixed_dictionaries({"k": st.integers(0, 2)}),
+                    st.lists(st.text(max_size=2), max_size=2))},
+                optional={
+                    "@language": st.sampled_from(["en", "EN", None]),
+                    "@direction": st.sampled_from(["ltr", "rtl", None]),
+                    "@type": st.sampled_from(
+                        ["@json", EX + "dt", "xsd:int", None, "@none"]),
+                    "@index": st.just("vi"),
+                }),
         ),
         "term2": st.text(max_size=6),
         "ex:curie": st.text(max_size=4),

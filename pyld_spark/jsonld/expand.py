@@ -701,7 +701,12 @@ def _expand_keyword(
             if isinstance(expanded_included, list)
             else [expanded_included]
         )
-        if not all(is_node_object(v) for v in included):
+        if not all(
+            # reference _is_subject (jsonld.py:6412-6428): a bare {"@id"}
+            # subject REFERENCE is not a subject — @included rejects it
+            is_node_object(v) and (len(v) > 1 or "@id" not in v)
+            for v in included
+        ):
             raise JsonLdError("@included values must be nodes", "invalid @included value")
         result.setdefault("@included", []).extend(included)
         return True

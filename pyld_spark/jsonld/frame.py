@@ -599,7 +599,12 @@ def cleanup_preserve(input_, state: FrameState, _memo: dict | None = None):
                 return "@null"
             # reference parity (jsonld.py:5004 `input_['@preserve'][0]`):
             # only the FIRST preserved element survives cleanup — an
-            # array-valued @default drops its tail
+            # array-valued @default drops its tail. An EMPTY @preserve (a
+            # frame `"@default": []`) crashes the reference with a bare
+            # IndexError; we stay graceful and keep the empty array
+            # (documented divergence, soak wave N+15).
+            if isinstance(preserved, list) and not preserved:
+                return []
             first = preserved[0] if isinstance(preserved, list) else preserved
             return cleanup_preserve(first, state, _memo)
         key = id(input_)

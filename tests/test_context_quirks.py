@@ -676,3 +676,35 @@ def test_type_map_keys_expand_under_scoped_context():
     out = api.expand(json.loads(json.dumps(doc2)))
     types = sorted(t for n in out[0]["http://e/m"] for t in n["@type"])
     assert types == ["http://e/a", "http://e/bscoped"]
+
+
+def test_empty_default_frame_is_graceful():
+    # a frame property with "@default": [] produces an EMPTY "@preserve"
+    # array; the reference crashes on `input_['@preserve'][0]`
+    # (jsonld.py:5004) with a bare IndexError — this engine stays graceful
+    # and drops the empty value (documented divergence, soak wave N+15)
+    doc = {"@context": [{"@vocab": "http://e/"}], "@type": "t"}
+    frame = {"@context": [{"@vocab": "http://e/"}],
+             "@id": [], "term2": {"@default": []}}
+    out = api.frame(json.loads(json.dumps(doc)), json.loads(json.dumps(frame)))
+    assert out == {"@context": {"@vocab": "http://e/"}, "@type": "t"}
+
+
+def test_included_rejects_bare_subject_references():
+    # reference _is_subject (jsonld.py:6412-6428): an object whose only
+    # key is @id is a subject REFERENCE, not a subject — @included values
+    # must expand to full node objects, so a child whose other properties
+    # all dropped (no @vocab) is an error. Soak wave N+14.
+    E = "http://e/"
+    with pytest.raises(JsonLdError) as ei:
+        api.expand({"@context": {"@vocab": E},
+                    "@included": {"@id": E + "inc"}})
+    assert ei.value.code == "invalid @included value"
+    with pytest.raises(JsonLdError):
+        api.expand({"@context": [{"t": E + "t"}],
+                    "t": {"@id": E + "n",
+                          "@included": {"@id": E + "inc", "dropped": ""}}})
+    # a node with at least one real property is fine
+    out = api.expand({"@context": {"@vocab": E},
+                      "@included": {"@id": E + "inc", "p": "v"}})
+    assert out[0]["@included"][0]["http://e/p"] == [{"@value": "v"}]

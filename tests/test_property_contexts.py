@@ -126,7 +126,12 @@ nested_contexts = st.sampled_from([
     {"@base": EX + "sub/"},
 ])
 
-bodies = st.fixed_dictionaries(
+# wave N+14: full-body recursion — any body can appear as a child node of
+# "t" (plain, in a list, or under @graph), driving the expansion recursion
+# to arbitrary depth with fresh context interactions at every level
+bodies = st.deferred(lambda: _bodies)
+
+_bodies = st.fixed_dictionaries(
     {},
     optional={
         "@id": st.sampled_from([EX + "n", "rel-n"]),
@@ -161,6 +166,9 @@ bodies = st.fixed_dictionaries(
                 st.fixed_dictionaries({}, optional={
                     "t": st.text(max_size=3), "@id": st.just(EX + "g")}),
                 max_size=2)}),
+            # wave N+14: recursive full-body children
+            bodies,
+            st.fixed_dictionaries({"@graph": st.lists(bodies, max_size=2)}),
             # wave N+13: child node with its OWN inline @context
             st.fixed_dictionaries(
                 {"@context": nested_contexts},
@@ -446,9 +454,20 @@ def test_random_context_flatten_matches_reference(ctx, body, omit_graph):
 frames = st.fixed_dictionaries(
     {},
     optional={
-        "@type": st.sampled_from([EX + "T", [], {}]),
-        "t": st.sampled_from([{}, [], {"@value": "x"}, {"@default": "d"}]),
-        "term2": st.sampled_from([{}, []]),
+        # wave N+15: @id patterns, nested subframes, @reverse framing,
+        # value patterns with @language, multi-pattern arrays
+        "@id": st.sampled_from([EX + "n", [EX + "n", EX + "c"], [], {}]),
+        "@type": st.sampled_from([EX + "T", [], {}, [EX + "T"]]),
+        "t": st.sampled_from([
+            {}, [], {"@value": "x"}, {"@default": "d"},
+            {"@id": EX + "c"},
+            {"term2": {}},
+            {"term2": {}, "@embed": "@never"},
+            {"@value": {}, "@language": "en"},
+            [{"@value": "x"}, {"@value": "y"}],
+        ]),
+        "term2": st.sampled_from([{}, [], {"@default": []}]),
+        "@reverse": st.sampled_from([{"t": {}}, {"term2": {"@explicit": True}}]),
         "@requireAll": st.booleans(),
         "@explicit": st.booleans(),
         "@embed": st.sampled_from(["@once", "@always", "@never"]),

@@ -146,6 +146,18 @@ EXPAND = [
                             "m": {"@id": E + "m", "@container": "@id",
                                   "@context": {"@base": E + "sub/"}}},
                "m": {"rel": {"p": "v"}}}},
+    # --- wave N+14: @included subject-reference validation ---
+    {"id": "n14-ex-inc-01", "name": "@included rejects a bare subject reference",
+     "negative": True, "error": "invalid @included value",
+     "input": {"@context": {"@vocab": E}, "@included": {"@id": E + "inc"}}},
+    {"id": "n14-ex-inc-02", "name": "@included node whose properties all drop errors",
+     "negative": True, "error": "invalid @included value",
+     "input": {"@context": [{"t": E + "t"}],
+               "t": {"@id": E + "n",
+                     "@included": {"@id": E + "inc", "dropped": ""}}}},
+    {"id": "n14-ex-inc-03", "name": "@included full node passes",
+     "input": {"@context": {"@vocab": E},
+               "@included": {"@id": E + "inc", "p": "v"}}},
 ]
 
 TORDF = [

@@ -80,7 +80,12 @@ contexts = st.one_of(
         optional={
             "@version": st.sampled_from([1.1, 1.0, "1.1"]),
             "@vocab": st.sampled_from([EX, "", "rel/", None, "_:b"]),
-            "@base": st.sampled_from([EX, "rel/", None]),
+            # wave N+16: bases with path/query/fragment parts — resolution
+            # against each exercises distinct RFC 3986 merge branches
+            "@base": st.sampled_from([
+                EX, "rel/", None, EX + "a/b/c?q=1#f", "//h/p/",
+                EX + "a/./b/../c", "http://e", "http://e/a/b/",
+            ]),
             "@language": st.sampled_from(["en", "EN", None, True]),
             "@direction": st.sampled_from(["ltr", "rtl", None, "x"]),
             "@propagate": st.booleans(),
@@ -96,6 +101,14 @@ contexts = st.one_of(
             "ex:suf": st.sampled_from(
                 [EX + "cdef", {"@id": None}, {"@container": "@set"}]),
             "@reserved": st.sampled_from([EX + "resv", {"@id": EX + "r2"}]),
+            # wave N+16 grammar: keyword ALIASES — terms whose value is a
+            # keyword, then used as body keys (value objects, graphs,
+            # lists, reverse maps spelled through the alias)
+            "val": st.sampled_from(["@value", "@id"]),
+            "lang": st.sampled_from(["@language", "@direction"]),
+            "gr": st.sampled_from(["@graph", "@set", "@included"]),
+            "ls": st.sampled_from(["@list", "@index"]),
+            "rev": st.sampled_from(["@reverse", "@nest"]),
         },
     ),
     st.lists(
@@ -134,12 +147,29 @@ bodies = st.deferred(lambda: _bodies)
 _bodies = st.fixed_dictionaries(
     {},
     optional={
-        "@id": st.sampled_from([EX + "n", "rel-n"]),
+        # wave N+16: relative-IRI resolution surface — dot segments,
+        # query-only, fragment-only, net-path, and empty references each
+        # walk a different branch of RFC 3986 merge/remove_dot_segments
+        "@id": st.sampled_from([
+            EX + "n", "rel-n", "../up", "./same", "?q2", "#f2", "/abs",
+            "../../over", "", "g;x=1", "//other/p",
+        ]),
         "@type": st.sampled_from(["t", "term2", EX + "T"]),
         "t": st.one_of(
             st.text(max_size=6),
             st.integers(min_value=-5, max_value=5),
+            # wave N+16: non-string scalars — floats force the canonical
+            # xsd:double path under coercion/toRDF; bools and null walk
+            # their own _expand_value branches
+            st.sampled_from([0.1, 1.5, -0.0, 1e21, 2.0, -3.7,
+                             True, False, None]),
             st.fixed_dictionaries({"@value": st.text(max_size=4)}),
+            # wave N+16: value object spelled entirely through aliases
+            st.fixed_dictionaries(
+                {"val": st.one_of(st.text(max_size=3), st.sampled_from(
+                    [1.5, -0.0, True]))},
+                optional={"lang": st.sampled_from(["en", "rtl", "ltr"]),
+                          "ls": st.text(max_size=2)}),
             st.lists(st.text(max_size=4), max_size=2),
             st.fixed_dictionaries({}, optional={
                 "t": st.text(max_size=4), "@id": st.just(EX + "c")}),
@@ -196,6 +226,24 @@ _bodies = st.fixed_dictionaries(
         "term2": st.text(max_size=6),
         "ex:curie": st.text(max_size=4),
         "t:suffix": st.text(max_size=4),
+        # wave N+16: keyword aliases used as BODY keys — a value object
+        # spelled through aliases under "t", and aliased @graph/@list/
+        # @reverse at the top level (free-floating list/value surface)
+        "val": st.sampled_from(["plain", 4, 2.5, True]),
+        "gr": st.one_of(
+            st.lists(st.fixed_dictionaries({}, optional={
+                "t": st.text(max_size=3), "@id": st.just(EX + "ag")}),
+                max_size=2),
+            st.text(max_size=3),
+        ),
+        "ls": st.lists(st.one_of(st.text(max_size=3),
+                                 st.floats(min_value=-2.0, max_value=2.0,
+                                           allow_nan=False)),
+                       max_size=2),
+        "rev": st.fixed_dictionaries({}, optional={
+            "t": st.fixed_dictionaries({"@id": st.just(EX + "rv")}),
+            "term2": st.text(max_size=3),
+        }),
         "@reverse": st.one_of(
             st.fixed_dictionaries({"t": st.fixed_dictionaries(
                 {"@id": st.just(EX + "rn")})}),

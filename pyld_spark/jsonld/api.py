@@ -41,16 +41,26 @@ def unregister_rdf_parser(content_type: str) -> None:
 
 def _options(options: dict | None) -> dict:
     o = dict(options or {})
-    o.setdefault("base", None)
+    # mirror the reference's option domain (jsonld.py:486/632/692): an
+    # ABSENT base becomes '' (→ DEFAULT_BASE_IRI fallback at resolve time),
+    # while an EXPLICIT base=None disables document-relative resolution
+    # entirely (the resolve ladder at jsonld.py:6100-6119 skips every
+    # branch when base is None)
+    o.setdefault("_base_absent", "base" not in o)
+    o.setdefault("base", "")
     o.setdefault("processingMode", "json-ld-1.1")
     o.setdefault("documentLoader", None)
     return o
 
 
 def _make_context(options: dict) -> Context:
-    return initial_context(
-        base=options.get("base"), processing_mode=options["processingMode"]
+    b = options.get("base")
+    ctx = initial_context(
+        base=(b or None), processing_mode=options["processingMode"]
     )
+    if b is None:
+        ctx.base_disabled = True
+    return ctx
 
 
 def _loader(options: dict) -> DocumentLoader | None:
@@ -77,10 +87,12 @@ def expand(document, options: dict | None = None) -> list:
         url = document
         remote = loader.load(url)
         document = remote.get("document", remote)
-        if o.get("base") is None:
-            o["base"] = remote.get("documentUrl", url)
+        if o.get("_base_absent"):
+            # reference jsonld.py:632: setdefault only fires when the user
+            # did not pass a base at all
+            o["base"] = remote.get("documentUrl", url) or ""
     ctx = _make_context(o)
-    if ctx.base is None and ctx.original_base is None:
+    if ctx.base is None and ctx.original_base is None and not ctx.base_disabled:
         # the default document base must exist BEFORE any context is
         # processed: a non-propagating context snapshots `previous` at
         # process time, and a late default would leave that snapshot

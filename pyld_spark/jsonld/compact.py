@@ -358,10 +358,17 @@ def compact_value(active: Context, active_property: str | None, value: dict):
             rval[compact_iri(active, "@index", vocab=True)] = value["@index"]
         if "@type" in value:
             t = value["@type"]
-            rval[compact_iri(active, "@type", vocab=True)] = (
-                compact_iri(active, t, vocab=True) if isinstance(t, str)
-                else [compact_iri(active, x, vocab=True) for x in t]
-            )
+            if isinstance(t, str):
+                t = compact_iri(active, t, vocab=True)
+            elif isinstance(t, list):
+                t = [
+                    compact_iri(active, x, vocab=True) if isinstance(x, str)
+                    else x
+                    for x in t
+                ]
+            # non-str/list @type (malformed skipExpansion input — the
+            # reference crashes uncoded here) passes through as-is
+            rval[compact_iri(active, "@type", vocab=True)] = t
         elif "@language" in value:
             rval[compact_iri(active, "@language", vocab=True)] = value["@language"]
         if "@direction" in value:
@@ -637,6 +644,11 @@ def compact(
             continue
 
         # regular property
+        if not isinstance(expanded_value, list):
+            # malformed "expanded" input (reachable only via the public
+            # skipExpansion option): the reference crashes with an uncoded
+            # JsonLdError; we stay graceful and treat it as a singleton
+            expanded_value = [expanded_value]
         if not expanded_value:
             item_active_property = compact_iri(
                 active, expanded_property, value=None,

@@ -117,6 +117,11 @@ class Context:
     #: (keep IRIs relative) from "never set" (reference falls back to
     #: DEFAULT_BASE_IRI for document-relative expansion)
     base_nulled: bool = False
+    #: True when the API was called with an EXPLICIT base=None option —
+    #: the reference's resolve ladder (jsonld.py:6100-6119) then skips
+    #: every branch (including the in-context @base one, which requires
+    #: `base is not None`), so ALL document-relative resolution is off
+    base_disabled: bool = False
     original_base: str | None = None
     vocab: str | None = None
     default_language: str | None = None
@@ -135,6 +140,7 @@ class Context:
             terms=dict(self.terms),
             base=self.base,
             base_nulled=self.base_nulled,
+            base_disabled=self.base_disabled,
             original_base=self.original_base,
             vocab=self.vocab,
             default_language=self.default_language,
@@ -773,6 +779,10 @@ def expand_iri(
     if vocab and active.vocab is not None:
         return active.vocab + value
     if document_relative:
+        if active.base_disabled:
+            # explicit API base=None: the reference ladder keeps values
+            # relative even when the context carries an absolute @base
+            return value
         if active.base is not None:
             return resolve_iri(active.base, value)
         if not active.base_nulled:

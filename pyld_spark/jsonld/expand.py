@@ -73,7 +73,11 @@ def expand(
     Returns the expanded form: an array of node objects.
     """
     st = _State(loader, frame_expansion, on_dropped, keep_free_floating)
-    if context.base is None and context.original_base is None:
+    if (
+        context.base is None
+        and context.original_base is None
+        and not context.base_disabled
+    ):
         context = context.clone()
         context.base = DEFAULT_BASE_IRI
         context.original_base = DEFAULT_BASE_IRI
@@ -366,8 +370,6 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
                 if not st.keep_free_floating:
                     if not fast or set(fast) == {"@id"}:
                         return None
-                elif not fast:
-                    return None
             return fast
 
     # revert term-scoped context unless starting a value object / single-@id ref
@@ -514,14 +516,14 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
     if isinstance(result, dict):
         if len(result) == 1 and "@language" in result:
             return None
+        # reference jsonld.py:2246-2257: keepFreeFloatingNodes skips the
+        # whole drop block — even the empty object survives
         if not inside_list and (active_property is None or ap_iri == "@graph"):
             if not frame and not st.keep_free_floating:
                 if not result or "@value" in result or "@list" in result:
                     return None
                 if set(result) == {"@id"}:
                     return None
-            elif not result and not frame:
-                return None
     return result
 
 

@@ -38,9 +38,19 @@ def parse_iri(iri: str):
 
 
 def remove_dot_segments(path: str) -> str:
-    """RFC 3986 §5.2.4."""
+    """RFC 3986 §5.2.4, with the reference's query/fragment stop: its
+    resolver (iri_resolver.py:77-84) halts dot-segment processing at the
+    first '#' or '?' and appends the rest verbatim, so '/..' inside a
+    query string is NOT interpreted as a path segment."""
     if not path:
         return ""
+    cut = len(path)
+    for ch in "#?":
+        p = path.find(ch)
+        if 0 <= p < cut:
+            cut = p
+    tail = path[cut:]
+    path = path[:cut]
     output: list[str] = []
     inp = path
     while inp:
@@ -51,13 +61,15 @@ def remove_dot_segments(path: str) -> str:
         elif inp.startswith("/./"):
             inp = "/" + inp[3:]
         elif inp == "/.":
-            inp = "/"
+            # before a query/fragment the reference does NOT add the
+            # trailing slash (the '/.' skip lands directly on '?'/'#')
+            inp = "" if tail else "/"
         elif inp.startswith("/../"):
             inp = "/" + inp[4:]
             if output:
                 output.pop()
         elif inp == "/..":
-            inp = "/"
+            inp = "" if tail else "/"
             if output:
                 output.pop()
         elif inp in (".", ".."):
@@ -74,7 +86,12 @@ def remove_dot_segments(path: str) -> str:
             else:
                 output.append(inp[:j])
                 inp = inp[j:]
-    return "".join(output)
+    joined = "".join(output)
+    if tail and not joined:
+        # the reference's buffer join always re-prefixes '/' when a
+        # query/fragment survives an emptied path ('/a/..?q' → '/?q')
+        joined = "/"
+    return joined + tail
 
 
 def _remove_dot_segments_of_path(iri: str, colon_pos: int) -> str:
@@ -98,53 +115,76 @@ def _remove_dot_segments_of_path(iri: str, colon_pos: int) -> str:
 
 
 def resolve_iri(base: str | None, rel: str) -> str:
-    """RFC 3986 §5.2 transform-references merge, with one deliberate
-    reference-parity quirk: a relative IRI containing a colon ANYWHERE
-    (except when it starts with '#' or '?') is treated as opaque/absolute
-    and never resolved against the base — the reference resolver checks
-    ``relative_iri.find(':') >= 0`` (iri_resolver.py:174-176), so '0#:',
-    'a#b:c' and even '//host:80/p' skip base resolution entirely."""
+    """Behavioral mirror of the reference's resolve ladder
+    (iri_resolver.py:129-233, itself a port of the public
+    relative-to-absolute-iri.js), including its deliberate non-RFC quirks:
+
+    - a relative IRI containing a colon ANYWHERE (except when it starts
+      with '#' or '?') is treated as opaque/absolute and never resolved
+      against the base (iri_resolver.py:174-176), so '0#:', 'a#b:c' and
+      even '//host:80/p' skip base resolution entirely;
+    - a base with an authority but NO path keeps the reference's
+      ``base + '/' + rel`` concatenation, preserving the relative IRI's
+      own leading dot segments ('http://e' + '../up' → 'http://e/../up',
+      iri_resolver.py:193-206);
+    - a leading '.' (but not '..' / './') of the relative IRI is dropped
+      when merging onto a non-slash-terminated base path
+      (iri_resolver.py:221-228);
+    - where the reference raises a bare ValueError (empty/relative
+      operands with no scheme anywhere) this stays graceful and returns
+      the value unresolved — same crash-divergence class as elsewhere.
+    """
     if rel is None:
         rel = ""
     if base is None or base == "":
+        if ":" in rel and not rel.startswith(("#", "?")):
+            return _remove_dot_segments_of_path(rel, rel.find(":"))
         return rel
-    if ":" in rel and not rel.startswith(("#", "?")):
-        return _remove_dot_segments_of_path(rel, rel.find(":"))
-    r_scheme, r_auth, r_path, r_query, r_frag = parse_iri(rel)
-    b_scheme, b_auth, b_path, b_query, _ = parse_iri(base)
-    if r_scheme is not None:
-        scheme, auth, path, query = r_scheme, r_auth, remove_dot_segments(r_path), r_query
+    frag_pos = base.find("#")
+    if frag_pos > 0:
+        base = base[:frag_pos]
+    if rel == "":
+        return base
+    if rel.startswith("?"):
+        q_pos = base.find("?")
+        if q_pos > 0:
+            base = base[:q_pos]
+        return base + rel
+    if rel.startswith("#"):
+        return base + rel
+    colon = rel.find(":")
+    if colon >= 0:
+        return _remove_dot_segments_of_path(rel, colon)
+    b_colon = base.find(":")
+    if b_colon < 0:
+        return rel
+    b_scheme = base[: b_colon + 1]
+    if rel.startswith("//"):
+        return b_scheme + _remove_dot_segments_of_path(rel, -1)
+    if base.find("//", b_colon) == b_colon + 1:
+        slash = base.find("/", b_colon + 3)
+        if slash < 0:
+            if len(base) > b_colon + 3:
+                return base + "/" + _remove_dot_segments_of_path(rel, -1)
+            return b_scheme + _remove_dot_segments_of_path(rel, -1)
     else:
-        scheme = b_scheme
-        if r_auth is not None:
-            auth, path, query = r_auth, remove_dot_segments(r_path), r_query
-        else:
-            if r_path == "":
-                path = b_path
-                query = r_query if r_query is not None else b_query
-            else:
-                if r_path.startswith("/"):
-                    path = remove_dot_segments(r_path)
-                else:
-                    # merge paths (RFC 3986 §5.2.3)
-                    if b_auth is not None and b_path == "":
-                        merged = "/" + r_path
-                    else:
-                        merged = b_path[: b_path.rfind("/") + 1] + r_path
-                    path = remove_dot_segments(merged)
-                query = r_query
-            auth = b_auth
-    out = ""
-    if scheme is not None:
-        out += scheme + ":"
-    if auth is not None:
-        out += "//" + auth
-    out += path
-    if query is not None:
-        out += "?" + query
-    if r_frag is not None:
-        out += "#" + r_frag
-    return out
+        slash = base.find("/", b_colon + 1)
+        if slash < 0:
+            return b_scheme + _remove_dot_segments_of_path(rel, -1)
+    if rel.startswith("/"):
+        return base[:slash] + remove_dot_segments(rel)
+    b_path = base[slash:]
+    last_slash = b_path.rfind("/")
+    if last_slash < len(b_path) - 1:
+        b_path = b_path[: last_slash + 1]
+        if (
+            rel.startswith(".")
+            and not rel.startswith("..")
+            and not rel.startswith("./")
+            and len(rel) > 2
+        ):
+            rel = rel[1:]
+    return base[:slash] + remove_dot_segments(b_path + rel)
 
 
 def _strip_default_port(parsed) -> str | None:

@@ -919,3 +919,94 @@ def test_random_context_framing_options_matches_reference(
             f"\nframe={json.dumps(frame_body)}\nopts={opts}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )
+
+
+# wave N+17: the remaining API-option surface — options['base'] (document
+# base used when the context has no @base, plus compaction-side IRI
+# relativization), keepFreeFloatingNodes, skipExpansion (compact over a
+# RAW document treated as already-expanded), and flatten-with-base
+base_option_values = st.sampled_from([
+    "", EX, EX + "a/b/c?q=1#f", "http://e", "//h/p/", EX + "d/",
+])
+
+api_ops = st.sampled_from([
+    "expand", "expand_kff", "compact", "compact_skip", "tordf", "frame",
+    "flatten",
+])
+
+
+@settings(
+    max_examples=250, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, base_option_values, api_ops)
+def test_random_api_base_options_matches_reference(ctx, body, base, op):
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    opts = {"base": base}
+    if op == "expand_kff":
+        opts["keepFreeFloatingNodes"] = True
+    if op == "compact_skip":
+        opts["skipExpansion"] = True
+
+    def run(impl):
+        d = json.loads(json.dumps(doc))
+        c = json.loads(json.dumps(ctx))
+        o = dict(opts)
+        if op in ("expand", "expand_kff"):
+            return impl.expand(d, o)
+        if op in ("compact", "compact_skip"):
+            return impl.compact(d, c, o)
+        if op == "tordf":
+            return impl.to_rdf(d, {**o, "format": "application/n-quads"})
+        if op == "frame":
+            return impl.frame(d, {"@context": c}, o)
+        return impl.flatten(d, None, o)
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = run(ref)
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = run(api)
+    except JsonLdError as e:
+        my_code = e.code
+    except RecursionError:
+        my_code = "__recursion__"
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nop={op} base={base!r}\nctx={json.dumps(ctx)}"
+        f"\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        if op == "tordf":
+            assert set(my_out.split("\n")) == set(ref_out.split("\n")), (
+                f"\nop={op} base={base!r}\nctx={json.dumps(ctx)}"
+                f"\nbody={json.dumps(body)}"
+                f"\nmine={my_out!r}\nref ={ref_out!r}"
+            )
+        elif op in ("expand", "expand_kff"):
+            assert equal_unordered(my_out, ref_out), (
+                f"\nop={op} base={base!r}\nctx={json.dumps(ctx)}"
+                f"\nbody={json.dumps(body)}"
+                f"\nmine={my_out!r}\nref ={ref_out!r}"
+            )
+        else:
+            assert my_out == ref_out, (
+                f"\nop={op} base={base!r}\nctx={json.dumps(ctx)}"
+                f"\nbody={json.dumps(body)}"
+                f"\nmine={my_out!r}\nref ={ref_out!r}"
+            )
+

@@ -229,13 +229,37 @@ def frame(document, frame_doc, options: dict | None = None):
     expanded_frame = expand(
         frame_doc, {**o, "isFrame": True, "keepFreeFloatingNodes": True}
     )
+    # Mode-specific defaults (omitGraph / pruneBlankNodeIdentifiers / the
+    # is11 @embed gate) derive from the PROCESSED frame context's mode, not
+    # the raw processingMode option (reference jsonld.py:806-848). This
+    # matters because context processing can silently CHANGE the mode: the
+    # reference's _clone_active_context drops processingMode, so a frame
+    # context whose first element carries @propagate:false loses the 1.0
+    # mode and restores to the default 1.1 (see the QUIRK PARITY note in
+    # context.process_context) — flipping omitGraph to True even under
+    # processingMode=json-ld-1.0. An @version:1.1 upgrade does the same.
+    try:
+        _fctx = process_context(
+            _make_context(o),
+            frame_ctx if frame_ctx is not None else {},
+            o.get("base") or None,
+            loader=_loader(o),
+        )
+        is11 = _fctx.processing_mode != "json-ld-1.0"
+    except JsonLdError:
+        # the reference wraps frame-context errors as an UNCODED FrameError
+        # before any framing work; the coded error already surfaced from
+        # the expand(frame_doc) call above, so this branch is unreachable
+        # in practice — keep the option-derived default as a safety net
+        is11 = o["processingMode"] != "json-ld-1.0"
     framing_opts = {
         "embed": o.get("embed", "@once"),
         "explicit": o.get("explicit", False),
         "requireAll": o.get("requireAll", False),
         "omitDefault": o.get("omitDefault", False),
+        "is11": is11,
         "pruneBlankNodeIdentifiers": o.get(
-            "pruneBlankNodeIdentifiers", o["processingMode"] != "json-ld-1.0"
+            "pruneBlankNodeIdentifiers", is11
         ),
     }
     framed = frame_expanded(expanded, expanded_frame, framing_opts)
@@ -252,7 +276,7 @@ def frame(document, frame_doc, options: dict | None = None):
     # ([{}] stays [{}]) be told apart from "zero nodes" ([] stays []);
     # a post-hoc wrap of the already-simplified {} loses that distinction
     # (soak-found, round-4 framing-options axis)
-    omit_graph = o.get("omitGraph", o["processingMode"] != "json-ld-1.0")
+    omit_graph = o.get("omitGraph", is11)
     compact_opts = {**o, "skipExpansion": True, "graph": not omit_graph}
     if linking:
         compact_opts["_linkMemo"] = {}

@@ -410,9 +410,7 @@ def match_frame(state: FrameState, subjects: list, frame, parent, property,
 
         state.link[id_] = output
 
-        if embed in ("@first", "@last") and options.get(
-            "processingMode", "json-ld-1.1"
-        ) != "json-ld-1.0":
+        if embed in ("@first", "@last") and options.get("is11", True):
             raise JsonLdError(
                 f"invalid value of @embed: {embed}", "invalid @embed value"
             )

@@ -1010,3 +1010,71 @@ def test_random_api_base_options_matches_reference(ctx, body, base, op):
                 f"\nmine={my_out!r}\nref ={ref_out!r}"
             )
 
+
+# wave N+19: json-ld-1.0 processing mode across the NON-expansion ops.
+# Only expansion had a 1.0 axis before; compaction term selection (1.1
+# container features unavailable), flatten/framing's mode-gated defaults
+# (omitGraph / pruneBlankNodeIdentifiers flip with the mode), and toRDF
+# over 1.0-restricted contexts are fresh mode-gated surface.
+mode10_ops = st.sampled_from(["compact", "flatten", "frame", "tordf"])
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, mode10_ops)
+def test_random_context_mode10_ops_matches_reference(ctx, body, op):
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+    doc = {"@context": ctx, **body}
+    opts = {"processingMode": "json-ld-1.0"}
+
+    def run(impl):
+        d = json.loads(json.dumps(doc))
+        c = json.loads(json.dumps(ctx))
+        o = dict(opts)
+        if op == "compact":
+            return impl.compact(d, c, o)
+        if op == "tordf":
+            return impl.to_rdf(d, {**o, "format": "application/n-quads"})
+        if op == "frame":
+            return impl.frame(d, {"@context": c}, o)
+        return impl.flatten(d, None, o)
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = run(ref)
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = run(api)
+    except JsonLdError as e:
+        my_code = e.code
+    except RecursionError:
+        my_code = "__recursion__"
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\nop={op}\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        if op == "tordf":
+            assert set(my_out.split("\n")) == set(ref_out.split("\n")), (
+                f"\nop={op}\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+                f"\nmine={my_out!r}\nref ={ref_out!r}"
+            )
+        else:
+            assert my_out == ref_out, (
+                f"\nop={op}\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+                f"\nmine={my_out!r}\nref ={ref_out!r}"
+            )

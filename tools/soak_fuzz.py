@@ -49,6 +49,8 @@ PLAN = {
                   "test_random_expand_context_option_matches_reference", 10000),
     "apiopts": ("tests.test_property_contexts",
                 "test_random_api_base_options_matches_reference", 15000),
+    "mode10ops": ("tests.test_property_contexts",
+                  "test_random_context_mode10_ops_matches_reference", 15000),
     "html": ("tests.test_property_html_ingest",
              "test_extraction_recovers_planted_scripts", 5000),
     "fromrdf": ("tests.test_property_fromrdf",

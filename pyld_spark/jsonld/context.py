@@ -564,7 +564,12 @@ def create_term_definition(
             ))):
                 raise JsonLdError(f"invalid IRI mapping for {term}", "invalid IRI mapping")
             definition.iri = iri
-            if ":" in term[1:-1] or "/" in term:
+            # "term in form of an IRI must expand to definition" — the
+            # reference gates this on re.match(r'.*((:[^:])|/)', term)
+            # (jsonld.py:5722): a colon followed by a NON-colon anywhere
+            # (including position 0, so ":suf" counts) or any slash; "::"
+            # alone does NOT count, and the dot-star cannot cross a newline
+            if re.match(r".*((:[^:])|/)", term):
                 defined[term] = True
                 if expand_iri(active, term, vocab=True, local_ctx=local_ctx, defined=defined) != iri:
                     raise JsonLdError(
@@ -579,7 +584,13 @@ def create_term_definition(
                 and (iri.startswith("_:") or iri[-1:] in "/?#[]@:")
             ):
                 definition.prefix = True
-    elif ":" in term[1:]:
+    elif term.find(":") > 0:
+        # no-@id ladder (reference jsonld.py:5751-5766). The gate is
+        # find(':') > 0 — a LEADING colon ("::", ":a:b") does not count and
+        # falls through to the @vocab branch. When the prefix is undefined
+        # the term itself becomes the IRI mapping UNCONDITIONALLY (no
+        # absolute-IRI validation — "x\n:y" maps to itself); and the
+        # reference has no term-with-slash branch at all.
         prefix, suffix = term.split(":", 1)
         if prefix in local_ctx:
             create_term_definition(
@@ -589,15 +600,8 @@ def create_term_definition(
             )
         if prefix in active.terms and active.terms[prefix].iri:
             definition.iri = active.terms[prefix].iri + suffix
-        elif is_absolute_iri(term):
-            definition.iri = term
         else:
-            raise JsonLdError(f"invalid IRI mapping: {term}", "invalid IRI mapping")
-    elif "/" in term:
-        iri = expand_iri(active, term, vocab=True, local_ctx=local_ctx, defined=defined)
-        if not isinstance(iri, str) or not is_absolute_iri(iri):
-            raise JsonLdError(f"invalid IRI mapping: {term}", "invalid IRI mapping")
-        definition.iri = iri
+            definition.iri = term
     elif term == "@type":
         definition.iri = "@type"
     elif active.vocab is not None:
@@ -705,8 +709,10 @@ def create_term_definition(
 
     if "@prefix" in value:
         # reference order: compact-IRI-term check, then keyword-@id check
-        # (unconditional), then boolean validation (jsonld.py:5955-5975)
-        if ":" in term or "/" in term:
+        # (unconditional), then boolean validation (jsonld.py:5955-5975);
+        # the gate is re.match(r'.*(:|/)', term) — dot-star cannot cross a
+        # newline, so a colon/slash after '\n' does NOT disqualify the term
+        if re.match(r".*(:|/)", term):
             raise JsonLdError("@prefix not allowed here", "invalid term definition")
         if is_keyword(definition.iri):
             raise JsonLdError("keyword cannot be a prefix", "invalid term definition")

@@ -131,8 +131,12 @@ def _compile_fast_key(active_ctx: Context, key: str):
     if key == "@context":
         return ("bail",)
     ep = _expand_key_iri(active_ctx, key)
+    # keep rule is _is_absolute_iri, NOT colon-containment (reference
+    # jsonld.py:2307): "v:x y" or ":suf" expand to themselves but are
+    # dropped here because the absolute-IRI regex rejects whitespace /
+    # empty schemes
     if ep is None or not (
-        (isinstance(ep, str) and ":" in ep) or is_keyword(ep)
+        (isinstance(ep, str) and is_absolute_iri(ep)) or is_keyword(ep)
     ):
         return ("drop",)
     if ep == "@id" and key == "@id":
@@ -536,8 +540,11 @@ def _expand_keys(
             continue
         value = element[key]
         expanded_property = _expand_key_iri(active_ctx, key)
+        # drop rule mirrors reference jsonld.py:2307: the expanded property
+        # must be an ABSOLUTE IRI (whitespace-free, real scheme or '_') or
+        # a keyword — plain colon-containment keeps too much
         if expanded_property is None or not (
-            (isinstance(expanded_property, str) and ":" in expanded_property)
+            (isinstance(expanded_property, str) and is_absolute_iri(expanded_property))
             or is_keyword(expanded_property)
         ):
             _dropped(st, key)

@@ -15,7 +15,10 @@ _PARTS_RE = re.compile(
     r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
 )
 
-_ABSOLUTE_IRI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*|_):[^\s]*$")
+# exact mirror of the reference's `_is_absolute_iri` regex
+# (jsonld.py:6530) including its quirk: the class `[A-Za-z0-9+-.]` spells
+# the RANGE 0x2B-0x2E, so ',' is a legal scheme character there
+_ABSOLUTE_IRI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+,\-.]*|_):[^\s]*$")
 
 
 @lru_cache(maxsize=16384)

@@ -109,6 +109,23 @@ contexts = st.one_of(
             "gr": st.sampled_from(["@graph", "@set", "@included"]),
             "ls": st.sampled_from(["@list", "@index"]),
             "rev": st.sampled_from(["@reverse", "@nest"]),
+            # wave N+20 grammar: EXOTIC term names — leading-colon terms
+            # (":suf" trips the `.*((:[^:])|/)` IRI-form gate at position
+            # 0), whitespace terms ("te rm" maps via @vocab but the
+            # expanded property fails _is_absolute_iri and is dropped),
+            # newline terms ("x\n:y" — the reference's dot-star regexes
+            # cannot cross the newline, so it escapes both the IRI-form
+            # and the @prefix compact-IRI gates), and colon-only "::"
+            # (find(':')==0 is NOT "has colon" in the no-@id ladder)
+            ":suf": st.sampled_from(
+                [EX + "x", {"@id": ":suf"}, {"@id": EX + "y", "@prefix": True},
+                 "nope:z", None]),
+            "te rm": st.sampled_from(
+                [EX + "sp", {"@id": "te rm"}, {"@id": EX + "sp2"}, None]),
+            "x\n:y": st.sampled_from(
+                [EX + "nl", {"@id": "x\n:y"},
+                 {"@id": EX + "nl2", "@prefix": True}]),
+            "::": st.sampled_from([EX + "cc", {"@id": "::"}, None]),
         },
     ),
     st.lists(
@@ -153,8 +170,13 @@ _bodies = st.fixed_dictionaries(
         "@id": st.sampled_from([
             EX + "n", "rel-n", "../up", "./same", "?q2", "#f2", "/abs",
             "../../over", "", "g;x=1", "//other/p",
+            # wave N+20: exotic @id VALUES — whitespace, empty scheme,
+            # comma scheme — exercise the value-side _is_absolute_iri
+            # gates (node map, toRdf emission) rather than the key side
+            "te rm", ":frag", "a,b:x", "x\n:y",
         ]),
-        "@type": st.sampled_from(["t", "term2", EX + "T"]),
+        "@type": st.sampled_from(["t", "term2", EX + "T",
+                                  "ty pe", ":T", "a,b:T"]),
         "t": st.one_of(
             st.text(max_size=6),
             st.integers(min_value=-5, max_value=5),
@@ -256,6 +278,14 @@ _bodies = st.fixed_dictionaries(
             st.fixed_dictionaries({"@value": st.text(max_size=3)}),
         ),
         "@index": st.sampled_from(["i0", 7]),
+        # wave N+20: exotic term names as body keys — with or without a
+        # context entry; "a,b:x" is undefined everywhere and exercises the
+        # comma-in-scheme quirk of the reference's absolute-IRI regex
+        # (char class `[A-Za-z0-9+-.]` spells the range 0x2B-0x2E)
+        ":suf": st.text(max_size=3),
+        "te rm": st.text(max_size=3),
+        "x\n:y": st.text(max_size=3),
+        "a,b:x": st.text(max_size=3),
         "@nest": st.one_of(
             st.fixed_dictionaries({"term2": st.text(max_size=3)}),
             st.text(max_size=3),

@@ -35,6 +35,11 @@ container_values = st.sampled_from([
     ["@graph", "@id"], ["@graph", "@index"], ["@set", "@index"],
     ["@list", "@set"], ["@id", "@set"], ["@language", "@set"],
     "@nonsense", None,
+    # wave N+20b: full three-part graph containers, @type+@set, and
+    # invalid pairings (@id+@index, @graph+@list) for the error ladder
+    ["@type", "@set"], ["@graph", "@id", "@set"],
+    ["@graph", "@index", "@set"], ["@id", "@index"], ["@graph", "@list"],
+    ["@id", "@id"], [],
 ])
 
 

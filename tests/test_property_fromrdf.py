@@ -171,3 +171,75 @@ def test_random_quads_roundtrip_through_tordf(ds, direction):
     assert sorted(my_rt.splitlines()) == sorted(ref_rt.splitlines()), (
         f"\nnq={nq!r}\ndirection={direction}\nmine={my_rt!r}\nref ={ref_rt!r}"
     )
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(ds=datasets, alg=st.sampled_from(["URDNA2015", "URGNA2012"]))
+def test_random_quads_normalize_matches_reference(ds, alg):
+    """Quad-side canonicalization differential (wave N+21): random datasets
+    (list tangles, bnode graph names, exotic literals from the shared
+    `datasets` strategy) through BOTH c14n algorithms. The doc-side
+    `normalize` axis only reaches quad-sets expressible by the context
+    grammar; this one feeds the hash-first-degree / n-degree machinery
+    arbitrary bnode topologies directly (reference jsonld.py normalize +
+    c14n URDNA2015/URGNA2012 classes)."""
+    from pyld_spark.jsonld import api
+
+    ref = get_reference_jsonld()
+    nq = _nquads(ds)
+    opts = {
+        "algorithm": alg,
+        "inputFormat": "application/n-quads",
+        "format": "application/n-quads",
+    }
+    try:
+        ref_out = ref.normalize(nq, dict(opts))
+    except Exception:  # noqa: BLE001 — crash/code paths covered by fromrdf axis
+        return
+    my_out = api.normalize(nq, dict(opts))
+    assert my_out == ref_out, (
+        f"\nnq={nq!r}\nalg={alg}\nmine={my_out!r}\nref ={ref_out!r}"
+    )
+
+
+# pure-bnode digraphs: the adversarial c14n surface — every subject/object
+# blank, few predicates, so first-degree hashes collide and the n-degree
+# permutation walk does the work
+_bn = st.integers(min_value=0, max_value=7)
+bnode_edges = st.lists(
+    st.tuples(_bn, st.sampled_from(["p", "q"]), _bn),
+    min_size=1, max_size=14,
+)
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(edges=bnode_edges, alg=st.sampled_from(["URDNA2015", "URGNA2012"]),
+       decorate=st.booleans())
+def test_random_bnode_graph_normalize_matches_reference(edges, alg, decorate):
+    """Wave N+21b: random pure-bnode digraphs through both c14n algorithms.
+    `decorate` optionally gives every node an identical literal, which keeps
+    first-degree hashes colliding while changing quad counts."""
+    from pyld_spark.jsonld import api
+
+    ref = get_reference_jsonld()
+    lines = [f"_:b{s} <http://e/{p}> _:b{o} .\n" for s, p, o in edges]
+    if decorate:
+        nodes = {s for s, _, _ in edges} | {o for _, _, o in edges}
+        lines += [f"_:b{n} <http://e/v> \"x\" .\n" for n in sorted(nodes)]
+    nq = "".join(lines)
+    opts = {
+        "algorithm": alg,
+        "inputFormat": "application/n-quads",
+        "format": "application/n-quads",
+    }
+    ref_out = ref.normalize(nq, dict(opts))
+    my_out = api.normalize(nq, dict(opts))
+    assert my_out == ref_out, (
+        f"\nnq={nq!r}\nalg={alg}\nmine={my_out!r}\nref ={ref_out!r}"
+    )

@@ -57,6 +57,10 @@ PLAN = {
                 "test_random_quads_fromrdf_matches_reference", 20000),
     "fromrdf_rt": ("tests.test_property_fromrdf",
                    "test_random_quads_roundtrip_through_tordf", 10000),
+    "c14n_quads": ("tests.test_property_fromrdf",
+                   "test_random_quads_normalize_matches_reference", 10000),
+    "c14n_bnode": ("tests.test_property_fromrdf",
+                   "test_random_bnode_graph_normalize_matches_reference", 8000),
     "nquads": ("tests.test_property_nquads",
                "test_parse_nquads_matches_reference", 10000),
     "nquads_bad": ("tests.test_property_nquads",

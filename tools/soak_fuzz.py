@@ -61,6 +61,12 @@ PLAN = {
                    "test_random_quads_normalize_matches_reference", 10000),
     "c14n_bnode": ("tests.test_property_fromrdf",
                    "test_random_bnode_graph_normalize_matches_reference", 8000),
+    "rdfopts": ("tests.test_property_differential",
+                "test_rdf_option_axes_match_reference", 8000),
+    "pipe_diff": ("tests.test_property_differential",
+                  "test_expand_tordf_normalize_match_reference", 8000),
+    "fromrdf_rt2": ("tests.test_property_differential",
+                    "test_fromrdf_roundtrip_matches_reference", 6000),
     "nquads": ("tests.test_property_nquads",
                "test_parse_nquads_matches_reference", 10000),
     "nquads_bad": ("tests.test_property_nquads",

@@ -198,7 +198,15 @@ def from_rdf(dataset, options: dict | None = None) -> list:
         fmt = o.get("format", "application/n-quads")
         if fmt not in _rdf_parsers:
             raise JsonLdError(f"unknown input format {fmt}", "unknown format")
-        dataset = _rdf_parsers[fmt](dataset)
+        try:
+            dataset = _rdf_parsers[fmt](dataset)
+        except JsonLdError:
+            raise
+        except ValueError as e:
+            # mirror the reference's API surface: parse failures come out
+            # as (uncoded) JsonLdErrors, never bare ValueErrors
+            # (reference nquads.py parse → JsonLdError 'invalid quad')
+            raise JsonLdError(str(e), "invalid N-Quads") from e
     return _from_rdf_alg(
         dataset,
         use_native_types=o.get("useNativeTypes", False),

@@ -41,7 +41,12 @@ def inverse_context(active: Context) -> dict:
         defn = active.terms[term]
         if defn is None or defn.iri is None:
             continue
-        container = "".join(sorted(defn.container)) or "@none"
+        # absent @container keys as '@none'; an explicit EMPTY array keys
+        # as '' and duplicates key verbatim ('@set@set') — both make the
+        # term unselectable, exactly like the reference (jsonld.py:6166)
+        container = (
+            "".join(sorted(defn.container)) if defn.has_container else "@none"
+        )
         entry = inverse.setdefault(defn.iri, {})
         tl_map = entry.setdefault(
             container, {"@language": {}, "@type": {}, "@any": {}}
@@ -320,7 +325,7 @@ def compact_value(active: Context, active_property: str | None, value: dict):
             defn.direction if defn is not None and defn.direction is not UNSET
             else active.default_direction
         )
-        container = defn.container if defn is not None else frozenset()
+        container = defn.container if defn is not None else ()
         preserve_index = "@index" in value and "@index" not in container
 
         if not preserve_index and type_ != "@none":
@@ -418,7 +423,7 @@ def compact(
             if compacted is not None:
                 result.append(compacted)
         defn = active.terms.get(active_property)
-        container = defn.container if defn is not None else frozenset()
+        container = defn.container if defn is not None else ()
         if (
             len(result) == 1
             and compact_arrays
@@ -459,7 +464,7 @@ def compact(
         # loop — items compact under the '@list' alias (NOT the outer
         # term, so its @type coercion does not apply — soak-found, round 4)
         ldefn = active.terms.get(active_property)
-        lcontainer = ldefn.container if ldefn is not None else frozenset()
+        lcontainer = ldefn.container if ldefn is not None else ()
         if "@list" in lcontainer:
             return compact(
                 active, active_property, element["@list"], compact_arrays,
@@ -717,7 +722,7 @@ def compact(
                 )
                 continue
 
-            if container & {"@language", "@index", "@id", "@type"} and "@graph" not in container:
+            if {"@language", "@index", "@id", "@type"}.intersection(container) and "@graph" not in container:
                 map_object = nest_result.setdefault(item_active_property, {})
                 if "@language" in container:
                     key = expanded_item.get("@language")
@@ -821,7 +826,7 @@ def compact(
                 compact_arrays
                 and isinstance(compacted_item, list)
                 and len(compacted_item) == 1
-                and not (container & {"@set", "@list"})
+                and not ({"@set", "@list"}.intersection(container))
             ):
                 compacted_item = compacted_item[0]
             # reference's final-add arrayify rule (jsonld.py:1962-1969):
@@ -876,7 +881,7 @@ def _is_simple_graph(v) -> bool:
 
 def _nest_target(active: Context, result: dict, item_active_property: str):
     defn = active.terms.get(item_active_property)
-    container = defn.container if defn is not None else frozenset()
+    container = defn.container if defn is not None else ()
     if defn is not None and defn.nest is not None:
         nest_term = defn.nest
         if nest_term != "@nest":

@@ -85,7 +85,14 @@ class TermDef:
     type: str | None = None
     language: object = UNSET  # UNSET | None | str
     direction: object = UNSET  # UNSET | None | 'ltr' | 'rtl'
-    container: frozenset = frozenset()
+    # stored as the reference stores it (jsonld.py:5911): the ARRAYIFIED
+    # RAW list, order and duplicates preserved — ["@set","@set"] keys the
+    # inverse context as "@set@set" and is distinct from ["@set"] under
+    # protected-redefinition equality. has_container distinguishes an
+    # explicit empty array (inverse key "") from an absent @container
+    # (inverse key "@none", reference jsonld.py:6166).
+    container: tuple = ()
+    has_container: bool = False
     context: object = UNSET  # scoped context value (raw)
     context_base: str | None = None
     nest: str | None = None
@@ -683,7 +690,8 @@ def create_term_definition(
                 "reverse property container must be @set/@index",
                 "invalid reverse property",
             )
-        definition.container = frozenset(container)
+        definition.container = tuple(container)
+        definition.has_container = True
 
     if "@index" in value:
         if "@container" not in value or "@index" not in definition.container:

@@ -340,7 +340,7 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
 
     if isinstance(element, list):
         result = []
-        container = defn.container if defn is not None else frozenset()
+        container = defn.container if defn is not None else ()
         # nested arrays inside a list become nested @list objects
         # (jsonld.py:2025-2041)
         inside_list = inside_list or "@list" in container
@@ -575,7 +575,7 @@ def _expand_keys(
             # keyword properties, jsonld.py:3787-3788)
 
         defn = active_ctx.terms.get(key)
-        container = defn.container if defn is not None else frozenset()
+        container = defn.container if defn is not None else ()
 
         # container-map branches take precedence over @json coercion for
         # OBJECT values (reference dispatch order, jsonld.py:2607-2667:
@@ -584,7 +584,7 @@ def _expand_keys(
             expanded_value = _expand_language_map(
                 _term_scoped(st, active_ctx, defn), active_ctx, defn, value
             )
-        elif (container & {"@index", "@type", "@id"}) and isinstance(value, dict):
+        elif ({"@index", "@type", "@id"}.intersection(container)) and isinstance(value, dict):
             expanded_value = _expand_index_map(
                 st, active_ctx, _term_scoped(st, active_ctx, defn),
                 key, defn, container, value, base_url,
@@ -809,6 +809,12 @@ def _expand_keyword(
                     continue
                 if reverse_map is None:
                     reverse_map = result.setdefault("@reverse", {})
+                # the reference seeds every reversed property with an empty
+                # array before adding items (add_value(reverse_map, prop,
+                # [], propertyIsArray=True), jsonld.py:2572-2574) — so a
+                # property whose values all vanished (empty type/index map,
+                # frame wildcards) still appears as "prop": []
+                reverse_map.setdefault(prop, [])
                 for item in arrayify(items):
                     if is_value_object(item) or is_list_object(item):
                         raise JsonLdError(

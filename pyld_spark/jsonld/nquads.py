@@ -41,6 +41,9 @@ def unescape(s: str) -> str:
         if m.group(2):
             return chr(int(m.group(2), 16))
         c = m.group(3)
+        # the strict literal grammar (_PLAIN) only admits valid ECHARs, so
+        # the .get fallback is unreachable from the parse paths; kept for
+        # direct callers handed non-grammar text
         return {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
                 '"': '"', "\\": "\\", "'": "'"}.get(c, c)
 
@@ -82,7 +85,12 @@ def serialize_quads(quads) -> str:
 
 _IRI = r"(?:<([^:]+:[^>]*)>)"
 _BNODE = r"(_:(?:[A-Za-z0-9]+(?:[A-Za-z0-9\.\-_]*[A-Za-z0-9\-_])?))"
-_PLAIN = r'"((?:[^"\\]|\\.)*)"'
+# STRING_LITERAL_QUOTE body per the W3C N-Quads grammar: only ECHAR
+# ([tbnrf"'\]) and UCHAR (\uXXXX / \UXXXXXXXX) escapes are valid — an
+# unknown escape like \q fails the match and the line is rejected
+# (spec-strict; the reference parser instead keeps it raw — documented
+# divergence, same class as its \uXXXX non-decoding)
+_PLAIN = r'"((?:[^"\\]|\\[tbnrf"\'\\]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*)"'
 _DATATYPE = rf"(?:\^\^{_IRI.replace('(', '(?:', 1).replace('([^:]+:[^>]*)', '([^:]+:[^>]*)')})"
 _LANGUAGE = r"(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*))"
 _LITERAL = rf"(?:{_PLAIN}(?:\^\^<([^:]+:[^>]*)>|@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?)"

@@ -22,7 +22,10 @@ _IRI = r"<([^:]+:[^>]*)>"
 # same grammar as the driver-side parser (pyld_spark.jsonld.nquads._BNODE):
 # a bnode label cannot end with '.'
 _BNODE = r"(_:(?:[A-Za-z0-9]+(?:[A-Za-z0-9.\-_]*[A-Za-z0-9\-_])?))"
-_LIT = r'"((?:[^"\\]|\\.)*)"'
+# same strict STRING_LITERAL_QUOTE body as the driver-side parser
+# (pyld_spark.jsonld.nquads._PLAIN): unknown escapes fail the match and the
+# line becomes a quarantine row
+_LIT = r'"((?:[^"\\]|\\[tbnrf"\'\\]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*)"'
 _WS = r"[ \t]+"
 _WSO = r"[ \t]*"
 
@@ -41,8 +44,9 @@ def _unescape(col):
     """JVM-side unescape, identical to nquads.unescape for any literal with
     no unicode escape (those route through :func:`_unescape_unicode`):
     escaped backslashes FIRST (to a sentinel) so '\\\\t' (literal backslash
-    + t) is not misread as a tab escape; named escapes next; any remaining
-    unknown escape collapses to its raw char (driver-parser semantics)."""
+    + t) is not misread as a tab escape; named escapes next. Unknown
+    escapes cannot reach here — the strict _LIT grammar already rejected
+    those lines into quarantine."""
     out = F.replace(col, F.lit("\\\\"), F.lit("\x00ESC\x00"))
     for esc, raw in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"), ('\\"', '"'),
                      ("\\b", "\b"), ("\\f", "\f"), ("\\'", "'")):

@@ -120,3 +120,55 @@ def test_empty_scheme_key_drops():
     # ":s" drops (empty scheme), leaving an @id-only free-floating node,
     # which expansion then removes entirely — reference-verified
     assert expand({}, {":s": "v", "@id": EX + "s"}) == []
+
+
+# --- 4. raw container storage (wave N+20b find) ------------------------------
+
+def test_empty_container_array_makes_term_unselectable():
+    # the reference stores the arrayified RAW @container list; [] keys the
+    # inverse context as '' (not '@none'), so the term never compacts
+    # (jsonld.py:6166) — found by the escalated frameopts soak
+    out = api.frame(
+        {"@context": [{"t": {"@id": EX + "t", "@container": []}}], "@type": "t"},
+        {},
+    )
+    assert out["@type"] == EX + "t"
+
+
+def test_duplicate_container_entries_key_verbatim():
+    # ["@set","@set"] keys as '@set@set' — also unselectable, but the term
+    # still APPLIES on the expansion side (membership checks)
+    out = api.compact(
+        {"@id": EX + "s", EX + "t": [{"@value": "a"}, {"@value": "b"}]},
+        {"t": {"@id": EX + "t", "@container": ["@set", "@set"]}},
+    )
+    assert out == {
+        "@context": {"t": {"@id": EX + "t", "@container": ["@set", "@set"]}},
+        "@id": EX + "s",
+        EX + "t": ["a", "b"],
+    }
+
+
+def test_duplicate_index_set_container_still_selects():
+    # ['@index','@set'] and ['@set','@index'] both sort to '@index@set' —
+    # selectable under either spelling
+    for spelling in (["@index", "@set"], ["@set", "@index"]):
+        out = api.compact(
+            {"@id": EX + "s", EX + "t": [{"@value": "a", "@index": "i"}]},
+            {"t": {"@id": EX + "t", "@container": spelling}},
+        )
+        assert out["t"] == {"i": ["a"]}, out
+
+
+def test_reverse_map_keeps_empty_property_arrays():
+    # expansion seeds every reversed property with [] before adding items
+    # (reference add_value(reverse_map, prop, [], propertyIsArray=True),
+    # jsonld.py:2572-2574): a type-container map that expands to nothing
+    # still leaves "prop": [] under @reverse — found by the framing soak
+    # (the empty subframe then raises 'invalid frame' in recursion)
+    ctx = [{"t": {}, "@vocab": "http://e/"}, {"t": {"@container": "@type"}}]
+    out = api.expand({"@context": ctx, "@reverse": {"t": {}}})
+    assert out == [{"@reverse": {"http://e/t": []}}]
+    with pytest.raises(JsonLdError) as ei:
+        api.frame({"@context": ctx, "t": ""}, {"@context": ctx, "@reverse": {"t": {}}})
+    assert ei.value.code == "invalid frame"

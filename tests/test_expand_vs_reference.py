@@ -69,5 +69,5 @@ def test_context_processing_transcript_vocab():
 
     ctx = process_context(initial_context(), TRANSCRIPT_CONTEXT)
     assert ctx.vocab == VOCAB
-    assert ctx.terms["turns"].container == frozenset(["@list"])
+    assert ctx.terms["turns"].container == ("@list",)
     assert ctx.terms["turnIndex"].type.endswith("integer")

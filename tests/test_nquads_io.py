@@ -47,27 +47,27 @@ _:trail. <http://e/p> "bnode cannot end with dot" .
 
 def test_read_nquads_unicode_escapes_match_pure_parser(spark, tmp_path):
     """The Spark reader and the driver-side parser decode one grammar:
-    \\uXXXX/\\UXXXXXXXX (UDF path), escaped-backslash+u (JVM path), unknown
-    escapes collapse, and the bnode label grammar rejects a trailing dot."""
+    \\uXXXX/\\UXXXXXXXX (UDF path), escaped-backslash+u (JVM path), and the
+    strict STRING_LITERAL_QUOTE body quarantines unknown escapes exactly
+    like the bnode label grammar quarantines a trailing dot."""
     from pyld_spark.jsonld.nquads import unescape
 
     p = str(tmp_path / "uni.nq")
     with open(p, "w") as f:
         f.write(UNI_NQ)
     df = read_nquads(spark, p).cache()
-    assert df.filter("error_code is not null").count() == 1  # trailing-dot bnode
+    # trailing-dot bnode + unknown \z escape both quarantine
+    assert df.filter("error_code is not null").count() == 2
     got = {r.obj_value for r in df.filter("error_code is null").collect()}
     expected = {
         unescape("caf\\u00E9 \\U0001F600 ok"),
         unescape("not-an-escape \\\\u0041 kept"),
         unescape("odd \\\\\\u0042 b"),
-        unescape("unknown \\z escape"),
     }
     assert got == expected
     assert "café \U0001f600 ok" in got
     assert "not-an-escape \\u0041 kept" in got
     assert "odd \\B b" in got
-    assert "unknown z escape" in got
 
 
 def test_fuzzed_literals_spark_reader_matches_parser(spark, tmp_path):
@@ -122,3 +122,21 @@ def test_roundtrip_matches_pure_parser(spark, tmp_path):
     )
     expected = serialize_quads(parse_nquads(clean))
     assert written.strip().split("\n") == expected.strip().split("\n")
+
+
+def test_parse_nquads_rejects_unknown_escape():
+    """Spec-strict STRING_LITERAL_QUOTE: \\q is not an ECHAR/UCHAR, so the
+    driver parser rejects the line (the reference parser instead keeps the
+    two raw chars — documented divergence, same class as its \\uXXXX
+    non-decoding)."""
+    import pytest
+
+    from pyld_spark.jsonld.nquads import parse_nquads
+
+    with pytest.raises(ValueError, match="invalid N-Quads line"):
+        parse_nquads('<http://e/s> <http://e/p> "bad\\qesc" .\n')
+    # all valid ECHARs and UCHARs still parse
+    quads = parse_nquads(
+        '<http://e/s> <http://e/p> "\\t\\b\\n\\r\\f\\"\\\'\\\\\\u00E9\\U0001D11E" .\n'
+    )
+    assert quads[0][2]["value"] == "\t\b\n\r\f\"'\\é\U0001D11E"

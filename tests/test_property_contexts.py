@@ -434,7 +434,10 @@ def test_random_context_tordf_matches_reference(ctx, body):
         f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
     )
     if ref_code is None:
-        assert set(my_out.split("\n")) == set(ref_out.split("\n")), (
+        # BYTE equality, not line-set equality: both serializers emit the
+        # same sorted canonical N-Quads with the same deterministic bnode
+        # labels, so ordering and duplicate-dropping are part of parity
+        assert my_out == ref_out, (
             f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
             f"\nmine={my_out!r}\nref ={ref_out!r}"
         )

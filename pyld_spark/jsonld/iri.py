@@ -40,6 +40,56 @@ def parse_iri(iri: str):
     return m.groups()  # scheme, authority, path, query, fragment
 
 
+def rooted_remove_dot_segments(path: str) -> str:
+    """Literal transcription of the reference's remove_dot_segments
+    (iri_resolver.py:18-94, a port of relative-to-absolute-iri.js): the
+    result ALWAYS starts with '/', so a relative or empty path is rooted
+    ('' → '/', 'a//b' → '/a//b'). Used by relativization (unresolve), where
+    the rooting changes segment alignment for authority-only bases:
+    unresolve('http://e//abs', 'http://e') must yield 'abs', not '/abs'."""
+    segment_buffers: list[list[str]] = []
+    i = 0
+    length = len(path)
+    while i < length:
+        ch = path[i]
+        if ch == "/":
+            if i + 1 < length and path[i + 1] == ".":
+                if i + 2 < length and path[i + 2] == ".":
+                    next_ch = path[i + 3] if i + 3 < length else ""
+                    if next_ch and next_ch not in ("#", "?", "/"):
+                        segment_buffers.append([])
+                        i += 1
+                        continue
+                    if segment_buffers:
+                        segment_buffers.pop()
+                    if i + 3 >= length:
+                        segment_buffers.append([])
+                    i += 3
+                    continue
+                next_ch = path[i + 2] if i + 2 < length else ""
+                if next_ch and next_ch not in ("#", "?", "/"):
+                    segment_buffers.append([])
+                    i += 1
+                    continue
+                if i + 2 >= length:
+                    segment_buffers.append([])
+                i += 2
+                continue
+            segment_buffers.append([])
+            i += 1
+            continue
+        if ch in ("#", "?"):
+            if not segment_buffers:
+                segment_buffers.append([])
+            segment_buffers[-1].append(path[i:])
+            break
+        if not segment_buffers:
+            segment_buffers.append([])
+        segment_buffers[-1].append(ch)
+        i += 1
+    return "/" + "/".join("".join(buf) for buf in segment_buffers)
+
+
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4, with the reference's query/fragment stop: its
     resolver (iri_resolver.py:77-84) halts dot-segment processing at the
@@ -231,8 +281,10 @@ def relativize_iri(base: str | None, iri: str) -> str:
     if not (b.scheme == r.scheme and _strip_default_port(b) == _strip_default_port(r)):
         return iri
 
-    base_segments = remove_dot_segments(b.path).split("/")
-    iri_segments = remove_dot_segments(r.path).split("/")
+    # the reference unresolve uses the ROOTED variant (always leading
+    # "/"), which changes alignment for authority-only/relative paths
+    base_segments = rooted_remove_dot_segments(b.path).split("/")
+    iri_segments = rooted_remove_dot_segments(r.path).split("/")
     # do not consume the last segment unless a query/fragment follows
     last = 0 if (r.fragment or r.query) else 1
     while (

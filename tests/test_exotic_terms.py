@@ -172,3 +172,16 @@ def test_reverse_map_keeps_empty_property_arrays():
     with pytest.raises(JsonLdError) as ei:
         api.frame({"@context": ctx, "t": ""}, {"@context": ctx, "@reverse": {"t": {}}})
     assert ei.value.code == "invalid frame"
+
+
+def test_relativize_roots_paths_like_reference():
+    # unresolve uses the ROOTED dot-segment removal (always leading '/',
+    # iri_resolver.py:18-94): against an authority-only base, the empty
+    # base path roots to '/' and aligns with the first segment of '//abs',
+    # so 'http://e//abs' relativizes to 'abs', not '/abs' — found by the
+    # framing soak
+    out = api.compact(
+        [{"@id": "http://e//abs", "http://e/term2": [{"@value": ""}]}],
+        {"@vocab": "http://e/", "@base": "http://e"},
+    )
+    assert out["@id"] == "abs"

@@ -265,6 +265,31 @@ def _q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("entity_iri"), "rank_fp")
 
 
+def _q_entity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the co-mention graph
+    (fixed 3 iterations, min-label tie-break — deterministic, SQL-replayable)."""
+    from pyld_spark.operators.communities import label_propagation
+    from pyld_spark.operators.graph_stats import comention_edges
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    linked = link_entities(extract_mentions(t))
+    labels = label_propagation(comention_edges(linked), iters=3)
+    return labels.select(F.col("node").alias("entity_iri"), "community")
+
+
+def _q_entity_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LCG random walks (length 4) over the co-mention graph —
+    node2vec-style corpus generation as pure dataflow."""
+    from pyld_spark.operators.graph_stats import comention_edges
+    from pyld_spark.operators.walks import random_walks
+
+    ensure_workers_can_import(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    linked = link_entities(extract_mentions(t))
+    return random_walks(comention_edges(linked), length=4, walks_per_node=1)
+
+
 def _q_bgp_optional_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a SPARQL OPTIONAL block: every turn's role, plus the tool
     it invoked where there is one (NULL otherwise)."""
@@ -1072,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mention_counts": _q_entity_counts,
         "entity_table": _q_entity_table,
         "entity_pagerank": _q_entity_pagerank,
+        "entity_communities": _q_entity_communities,
+        "entity_walks": _q_entity_walks,
         "kg_comention_pairs": _q_kg_comention,
         "pmi_entity_pairs": _q_pmi_pairs,
         "bgp_optional_tool": _q_bgp_optional_tool,
@@ -2066,6 +2093,70 @@ def oracle_sql() -> dict[str, str]:
               UNION SELECT dst FROM edges),
             {", ".join(pr_ctes)}
             SELECT node AS entity_iri, rank_fp FROM pr{pr_iters}"""
+    # Label propagation: the co-mention edge set is already its own
+    # symmetric closure (both orientations, no self-loops), matching the
+    # operator's _symmetric_edges normalization exactly.
+    comention_ctes = f"""{_T_CTE}, {mentions_cte},
+            per_turn AS MATERIALIZED (
+              SELECT DISTINCT conv_id, turn_idx, entity_iri FROM linked),
+            edges AS MATERIALIZED (
+              SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+              FROM per_turn a JOIN per_turn b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.entity_iri <> b.entity_iri)"""
+    lp_iters = 3
+    lp_ctes = ["lp0 AS (SELECT DISTINCT src AS node, src AS community FROM edges)"]
+    for i in range(1, lp_iters + 1):
+        lp_ctes.append(f"""lp{i} AS MATERIALIZED (
+              SELECT node, community FROM (
+                SELECT e.src AS node, p.community,
+                       row_number() OVER (
+                         PARTITION BY e.src
+                         ORDER BY count(*) DESC, p.community ASC) AS rn
+                FROM edges e JOIN lp{i - 1} p ON p.node = e.dst
+                GROUP BY e.src, p.community)
+              WHERE rn = 1)""")
+    lpa_sql = f"""{comention_ctes},
+            {", ".join(lp_ctes)}
+            SELECT node AS entity_iri, community FROM lp{lp_iters}"""
+    # Deterministic random walks: replay the exact 31-bit LCG + positional
+    # ascii mix (walks._node_mix) — all-integer arithmetic, so DuckDB
+    # reproduces every choice bit-for-bit.
+    wk_mix = (
+        "(ascii({n}) * 8191"
+        " + ascii(substr({n}, length({n}), 1)) * 127"
+        " + ascii(substr({n}, greatest(length({n}) - 1, 1), 1)) * 31"
+        " + length({n}) * 131)"
+    )
+    wk_len = 4
+    wk_ctes = [
+        """adj AS MATERIALIZED (
+              SELECT src, dst,
+                     CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                          AS BIGINT) AS idx
+              FROM edges)""",
+        """degs AS MATERIALIZED (
+              SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src)""",
+        f"""w0 AS MATERIALIZED (
+              SELECT src || '#0' AS walk_id, src AS node,
+                     CAST({wk_mix.format(n='src')} % 2147483648 AS BIGINT) AS seed
+              FROM degs)""",
+    ]
+    for t in range(1, wk_len):
+        wk_ctes.append(f"""w{t} AS MATERIALIZED (
+              SELECT p.walk_id, a.dst AS node, p.seed2 AS seed
+              FROM (SELECT walk_id, node,
+                           (seed * 1103515245 + 12345
+                            + {wk_mix.format(n='node')}) % 2147483648 AS seed2
+                    FROM w{t - 1}) p
+              JOIN degs d ON d.src = p.node
+              JOIN adj a ON a.src = p.node AND a.idx = p.seed2 % d.deg)""")
+    wk_union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, node FROM w{t}" for t in range(wk_len)
+    )
+    walks_sql = f"""{comention_ctes},
+            {", ".join(wk_ctes)}
+            {wk_union}"""
     # Hash-split thresholds come from the SAME function the operator uses,
     # so the oracle replays the exact hex-string comparison.
     from pyld_spark.operators.sampling import _hex_threshold
@@ -2077,6 +2168,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         **extras,
         "entity_pagerank": pagerank_sql,
+        "entity_communities": lpa_sql,
+        "entity_walks": walks_sql,
         "doc_splits": f"""
             SELECT doc_id,
                    CASE WHEN {split_bucket} < '{_hex_threshold(0.9)}' THEN 'train'

@@ -845,7 +845,9 @@ def _process_nests(st, nests, active_property, result, base_url, frame):
     (reference jsonld.py:2750-2786). Depth-first: each nested value is
     fully expanded (including its own nests) before the next."""
     for value, term_ctx in nests:
-        for nv in arrayify(value):
+        # reference arrayify wraps bare None as [None] (jsonld.py:1412), so
+        # a null nest value is a VALIDATION error, not an empty collection
+        for nv in (value if isinstance(value, list) else [value]):
             if not isinstance(nv, dict):
                 raise JsonLdError(
                     "nested value must be a node object", "invalid @nest value"

@@ -52,6 +52,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     reliable: bool = False,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation over an undirected edge list.
 
@@ -64,9 +65,14 @@ def label_propagation(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    sym = _symmetric_edges(edges, src, dst)
-    sym = sym.localCheckpoint(eager=True) if not reliable else sym.checkpoint(eager=True)
-    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if not truncate_lineage:
+            return df
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    sym = _cut(_symmetric_edges(edges, src, dst))
+    nodes = _cut(sym.select(F.col("src").alias("node")).distinct())
     labels = nodes.withColumn("community", F.col("node"))
     for _ in range(iters):
         votes = (
@@ -87,11 +93,7 @@ def label_propagation(
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("nbr_label").alias("lbl"))).alias("best"))
             .select("node", F.col("best.lbl").alias("community"))
         )
-        labels = (
-            labels.localCheckpoint(eager=True)
-            if not reliable
-            else labels.checkpoint(eager=True)
-        )
+        labels = _cut(labels)
     return labels
 
 

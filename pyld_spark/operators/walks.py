@@ -81,6 +81,7 @@ def random_walks(
     src: str = "src",
     dst: str = "dst",
     reliable: bool = False,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Deterministic LCG-driven walks over the symmetric closure of ``edges``.
 
@@ -104,9 +105,14 @@ def random_walks(
         "dst",
         (F.row_number().over(w) - F.lit(1)).cast("bigint").alias("idx"),
     )
-    adj = adj.localCheckpoint(eager=True) if not reliable else adj.checkpoint(eager=True)
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    deg = deg.localCheckpoint(eager=True) if not reliable else deg.checkpoint(eager=True)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if not truncate_lineage:
+            return df
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    adj = _cut(adj)
+    deg = _cut(adj.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg")))
 
     walk_no = F.explode(
         F.sequence(F.lit(0), F.lit(walks_per_node - 1))
@@ -137,11 +143,7 @@ def random_walks(
             )
             .select("walk_id", F.col("dst").alias("node"), "seed")
         )
-        state = (
-            state.localCheckpoint(eager=True)
-            if not reliable
-            else state.checkpoint(eager=True)
-        )
+        state = _cut(state)
         out.append(state.select("walk_id", F.lit(t).cast("int").alias("step"), "node"))
     res = out[0]
     for df in out[1:]:

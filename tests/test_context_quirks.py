@@ -708,3 +708,18 @@ def test_included_rejects_bare_subject_references():
     out = api.expand({"@context": {"@vocab": E},
                       "@included": {"@id": E + "inc", "p": "v"}})
     assert out[0]["@included"][0]["http://e/p"] == [{"@value": "v"}]
+
+
+def test_null_nest_value_is_invalid():
+    # reference arrayify (jsonld.py:1412) wraps a bare None as [None], so a
+    # null @nest value hits the "nested value must be a node object" check
+    # (jsonld.py:2750-2786) — it is NOT an empty collection. Our arrayify
+    # maps None -> [], so _process_nests must arrayify reference-style.
+    # Found by the round-4 framing soak (this session).
+    for body in ({"t": None}, {"@nest": None, "a": 1}, {"t": [None]}):
+        with pytest.raises(JsonLdError) as ei:
+            api.expand({"@context": {"t": "@nest", "a": "http://e/a"},
+                        **body})
+        assert ei.value.code == "invalid @nest value"
+    # an empty ARRAY nest value stays an empty collection — no error
+    assert api.expand({"@context": {"t": "@nest"}, "t": []}) == []

@@ -241,6 +241,22 @@ def main() -> None:
             pmi_pairs(linked, min_pair_count=1),
     })
 
+    from pyld_spark.operators.communities import label_propagation
+    from pyld_spark.operators.walks import random_walks
+
+    edges = comention_edges(linked)
+    plans.update({
+        "label_propagation one iteration (labels⋈edges hash join + "
+        "two-key map-side-combined count + min-struct per-node reduce; "
+        "lineage truncated per iteration at runtime — shown untruncated)":
+            label_propagation(edges, iters=1, truncate_lineage=False),
+        "random_walks one step (per-src row_number rank [partitioned "
+        "window, never global]; state⋈deg keyed join computes the choice "
+        "with NO fan-out; (src,idx) two-column equi-join lands on ONE row "
+        "per walk — shown untruncated)":
+            random_walks(edges, length=2, truncate_lineage=False),
+    })
+
     out = ["# Physical plans (explain formatted)\n",
            f"Generated by tools/explain_audit.py on {sf_dir}.\n"]
     for title, df in plans.items():

@@ -82,6 +82,15 @@ PLAN = {
                  "test_interval_join_matches_brute_force", 2000),
     "linkheader": ("tests.test_property_link_header",
                    "test_parse_link_header_matches_reference", 5000),
+    # wave N+21: chained decode paths — compaction/framing over
+    # fromRdf-SHAPED inputs, and expansion over expanded form
+    "quad_compact": ("tests.test_property_quadchains",
+                     "test_random_quads_fromrdf_compact_matches_reference",
+                     10000),
+    "quad_frame": ("tests.test_property_quadchains",
+                   "test_random_quads_fromrdf_frame_matches_reference", 8000),
+    "expand2": ("tests.test_property_quadchains",
+                "test_double_expansion_matches_reference", 10000),
 }
 
 
@@ -134,8 +143,12 @@ def run_axis(name: str, module: str, fn_name: str, n: int) -> float:
 def main() -> None:
     sys.path.insert(0, "/root/repo")
     overrides = dict(a.split("=") for a in sys.argv[1:])
+    only = overrides.pop("only", None)
+    only_set = set(only.split(",")) if only else None
     total = 0
     for name, (module, fn_name, default_n) in PLAN.items():
+        if only_set is not None and name not in only_set:
+            continue
         n = int(overrides.get(name, default_n))
         if n <= 0:
             continue

@@ -500,13 +500,17 @@ def _expand(st: _State, active_ctx: Context, active_property, element, base_url,
             return None  # free-floating value object
         return result
 
-    if "@type" in result and not isinstance(result["@type"], list):
+    if "@type" in result:
+        # the bare `'@type' in rval` guard (reference jsonld.py:2213) means
+        # an ALREADY-LIST @type (e.g. merged from two aliased @type keys)
+        # still routes here and SKIPS the @set/@list validation below
         if result["@type"] is None:
             raise JsonLdError(
                 "@type value must be a string or array of strings",
                 "invalid type value",
             )
-        result["@type"] = [result["@type"]]
+        if not isinstance(result["@type"], list):
+            result["@type"] = [result["@type"]]
     elif "@set" in result or "@list" in result:
         # reference jsonld.py:2224-2231: at most ONE other property and it
         # must be @index — so @set alongside @list is also invalid

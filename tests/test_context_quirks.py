@@ -723,3 +723,33 @@ def test_null_nest_value_is_invalid():
         assert ei.value.code == "invalid @nest value"
     # an empty ARRAY nest value stays an empty collection — no error
     assert api.expand({"@context": {"t": "@nest"}, "t": []}) == []
+
+
+def test_merged_alias_type_skips_set_list_validation():
+    # reference jsonld.py:2213 gates the post-expansion ladder on a bare
+    # `'@type' in rval` — when two ALIASED @type keys merged the value is
+    # already a list, but the branch still fires and SKIPS the @set/@list
+    # "at most @index besides it" validation at jsonld.py:2224-2231. So an
+    # @list object that also carries a merged @type survives expansion.
+    # Found by the round-4 opchain soak (this session).
+    E = "http://e/"
+    out = api.expand({
+        "@context": {"t": "@type", "l": "@list", "p": E + "p"},
+        "@id": E + "s",
+        "p": {"t": E + "T1", "@type": E + "T2", "l": ["a"]},
+    })
+    assert out == [{"@id": E + "s", E + "p": [
+        {"@list": [{"@value": "a"}], "@type": [E + "T2", E + "T1"]}]}]
+    # single (non-merged) @type alongside @list also routes the same way
+    out = api.expand({
+        "@context": {"l": "@list", "p": E + "p"},
+        "@id": E + "s",
+        "p": {"@type": E + "T2", "l": ["a"]},
+    })
+    assert out == [{"@id": E + "s", E + "p": [
+        {"@list": [{"@value": "a"}], "@type": [E + "T2"]}]}]
+    # with no @type present the validation still fires
+    with pytest.raises(JsonLdError) as ei:
+        api.expand({"@context": {"p": E + "p", "x": E + "x"},
+                    "@id": E + "s", "p": {"@list": ["a"], "x": "y"}})
+    assert ei.value.code == "invalid set or list object"

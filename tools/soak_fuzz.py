@@ -91,6 +91,14 @@ PLAN = {
                    "test_random_quads_fromrdf_frame_matches_reference", 8000),
     "expand2": ("tests.test_property_quadchains",
                 "test_double_expansion_matches_reference", 10000),
+    # wave N+22: document-side operation chains (each engine consumes its
+    # own intermediate, so silent intermediate divergences amplify)
+    "compact_expand": ("tests.test_property_opchains",
+                       "test_compact_then_expand_matches_reference", 10000),
+    "flatten_frame": ("tests.test_property_opchains",
+                      "test_flatten_then_frame_matches_reference", 8000),
+    "frame_compact": ("tests.test_property_opchains",
+                      "test_frame_then_compact_matches_reference", 8000),
 }
 
 

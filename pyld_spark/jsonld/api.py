@@ -13,6 +13,7 @@ from pyld_spark.jsonld.compact import compact as _compact_alg
 from pyld_spark.jsonld.compact import compact_iri
 from pyld_spark.jsonld.context import (
     DEFAULT_BASE_IRI,
+    UNSET,
     Context,
     DocumentLoader,
     arrayify,
@@ -37,6 +38,51 @@ def register_rdf_parser(content_type: str, parser) -> None:
 
 def unregister_rdf_parser(content_type: str) -> None:
     _rdf_parsers.pop(content_type, None)
+
+
+def get_context_value(active_ctx: Context, key, type_=None):
+    """Term-definition lookup on a processed context (reference
+    JsonLdProcessor.get_context_value, jsonld.py:1271-1310): returns the
+    ``type_`` entry of ``key``'s term definition — with the context-level
+    default as the fallback for ``@language`` / ``@direction`` — or the
+    whole :class:`TermDef` when ``type_`` is None. An explicitly nulled
+    term (``"key": null``) returns None even for the defaulted types,
+    exactly like the reference's early return on a None mapping."""
+    rval = None
+    if key is None:
+        return None
+    if type_ == "@language" and active_ctx.default_language is not None:
+        rval = active_ctx.default_language
+    if type_ == "@direction" and active_ctx.default_direction is not None:
+        rval = active_ctx.default_direction
+    if key in active_ctx.terms:
+        term = active_ctx.terms[key]
+        if term is None:
+            return None
+        if type_ is None:
+            return term
+        # TermDef stores "absent" as the UNSET sentinel where the reference
+        # omits the dict key — both mean "fall through to the default"
+        attr = {
+            "@id": term.iri,
+            "@type": term.type,
+            "@language": term.language,
+            "@direction": term.direction,
+            "@container": list(term.container) if term.has_container else UNSET,
+            "@context": term.context,
+            "@nest": term.nest if term.nest is not None else UNSET,
+            "@index": term.index if term.index is not None else UNSET,
+            "reverse": term.reverse,
+            # always present in reference entries (initialized at
+            # jsonld.py:5605 alongside reverse/_prefix)
+            "protected": term.protected,
+            "_prefix": term.prefix,
+        }.get(type_, UNSET)
+        if attr is not UNSET and not (
+            type_ in ("@id", "@type") and attr is None
+        ):
+            rval = attr
+    return rval
 
 
 def _options(options: dict | None) -> dict:

@@ -192,12 +192,22 @@ def rdf_to_object(term: dict, use_native_types: bool, rdf_direction: str | None,
         if not converted and datatype != XSD_STRING:
             rval["@type"] = datatype
     elif rdf_direction == "i18n-datatype" and datatype.startswith(I18N_NS):
+        # the reference re.splits the WHOLE IRI on [#_] and unpacks exactly
+        # three parts (jsonld.py:4098) — so the suffix must contain exactly
+        # one '_'; @direction is then set UNCONDITIONALLY, even when empty
+        # ('i18n#ar_' decodes to @direction: ""). Zero or 2+ underscores
+        # crash the reference with a bare ValueError — this engine instead
+        # keeps the plain typed literal (graceful divergence: a malformed
+        # datatype must not kill a stage, and not decoding preserves the
+        # original literal exactly)
         lang_dir = datatype[len(I18N_NS):]
-        lang, _, direction = lang_dir.partition("_")
-        if lang:
-            rval["@language"] = lang
-        if direction:
+        if lang_dir.count("_") == 1:
+            lang, _, direction = lang_dir.partition("_")
+            if lang:
+                rval["@language"] = lang
             rval["@direction"] = direction
+        else:
+            rval["@type"] = datatype
     elif datatype != XSD_STRING:
         rval["@type"] = datatype
     return rval

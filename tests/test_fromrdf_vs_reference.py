@@ -159,3 +159,35 @@ def test_iri_cell_mid_chain_breaks_walk_after_conversion():
     out = api.from_rdf(nq, dict(opts))
     ref = get_reference_jsonld()
     assert out == ref.from_rdf(nq, dict(opts))
+
+
+def test_i18n_datatype_decode_matches_reference_split_semantics():
+    # the reference re.splits the WHOLE datatype IRI on [#_] and unpacks
+    # exactly three parts (jsonld.py:4098-4103), then sets @direction
+    # UNCONDITIONALLY — so 'i18n#ar_' decodes to @direction: "" and
+    # 'i18n#_rtl' to direction-only; suffixes with zero or 2+ underscores
+    # crash the reference with a bare ValueError, where this engine keeps
+    # the plain typed literal (graceful divergence: a malformed datatype
+    # must not kill a stage)
+    I18N = "https://www.w3.org/ns/i18n#"
+    opts = {"inputFormat": "application/n-quads", "rdfDirection": "i18n-datatype"}
+    ref = get_reference_jsonld()
+
+    def quad(dt):
+        return f'<http://e/s> <http://e/p> "x"^^<{dt}> .\n'
+
+    # reference-agreeing shapes (exactly one underscore)
+    for suffix in ("ar_rtl", "ar_", "_rtl", "_"):
+        nq = quad(I18N + suffix)
+        assert api.from_rdf(nq, dict(opts)) == ref.from_rdf(nq, dict(opts)), suffix
+    # explicit pin of the unconditional empty @direction
+    out = api.from_rdf(quad(I18N + "ar_"), dict(opts))
+    assert out[0]["http://e/p"][0] == {
+        "@value": "x", "@language": "ar", "@direction": ""}
+    # reference-crash shapes: graceful plain typed literal here
+    for suffix in ("arrtl", "ar_rtl_x", ""):
+        dt = I18N + suffix
+        with pytest.raises(ValueError):
+            ref.from_rdf(quad(dt), dict(opts))
+        out = api.from_rdf(quad(dt), dict(opts))
+        assert out[0]["http://e/p"][0] == {"@value": "x", "@type": dt}, suffix

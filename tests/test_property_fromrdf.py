@@ -57,8 +57,11 @@ literals = st.sampled_from([
     '"x"@en-US',
     f'"x"^^<{I18N}en_ltr>',
     f'"x"^^<{I18N}_ltr>',
+    f'"x"^^<{I18N}en_>',  # empty DIRECTION part — reference decodes @direction ""
+    f'"x"^^<{I18N}_>',
     f'"x"^^<{I18N}>',
     f'"x"^^<{I18N}en>',
+    f'"x"^^<{I18N}en_ltr_x>',  # 2+ underscores — reference ValueError
     '"{\\"a\\": 1}"^^<' + RDF + 'JSON>',
     '"not json"^^<' + RDF + 'JSON>',
     '"v"^^<http://e/custom>',

@@ -798,7 +798,19 @@ def expand_iri(
             # relative even when the context carries an absolute @base
             return value
         if active.base is not None:
-            return resolve_iri(active.base, value)
+            base = active.base
+            if not is_absolute_iri(base):
+                # a RAW relative @base (stored when the active base was
+                # null, reference jsonld.py:3400-3407) is lazily resolved
+                # against the API base at EVERY document-relative
+                # resolution (jsonld.py:6105-6110: resolved_base =
+                # resolve(ctx_base, base)); with an absent/'' API base the
+                # reference ValueErrors — this engine anchors on its
+                # synthetic document base instead (graceful divergence,
+                # same class as the other bare-resolve crashes)
+                anchor = active.original_base or DEFAULT_BASE_IRI
+                base = resolve_iri(anchor, base)
+            return resolve_iri(base, value)
         if not active.base_nulled:
             # no @base anywhere and no API base: the reference falls back to
             # its synthetic document base (jsonld.py:6112-6115, the

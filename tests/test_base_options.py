@@ -8,8 +8,13 @@ verified against the reference before pinning.
 
 from __future__ import annotations
 
+import json
+
+import pytest
+
 from pyld_spark.jsonld import api
 from pyld_spark.jsonld.iri import remove_dot_segments, resolve_iri
+from tests.ref_oracle import get_reference_jsonld
 
 P = "http://e/p"
 
@@ -126,3 +131,33 @@ def test_expand_type_resolves_document_relatively_with_base():
     assert out == [{"@type": ["http://h/t"], P: [{"@value": 1}]}]
     out = api.expand({"@type": "t", P: 1}, {"base": None})
     assert out == [{"@type": ["t"], P: [{"@value": 1}]}]
+
+
+def test_relative_context_base_lazily_anchored_on_api_base():
+    # the reference stores a relative in-context @base RAW when the active
+    # base is null (jsonld.py:3400-3407: the eager-resolve branch requires a
+    # non-None active @base) and then resolves it against the API base at
+    # EVERY document-relative resolution (jsonld.py:6105-6110:
+    # resolved_base = resolve(ctx_base, base)). Found by wave N+23 probes.
+    ref = get_reference_jsonld()
+    doc = {"@context": [{"@base": None}, {"@base": "rel/"}],
+           "@id": "doc", "http://e/p": "v"}
+    opts = {"base": "http://b/"}
+    expected = [{"@id": "http://b/rel/doc",
+                 "http://e/p": [{"@value": "v"}]}]
+    assert ref.expand(json.loads(json.dumps(doc)), dict(opts)) == expected
+    assert api.expand(doc, dict(opts)) == expected
+    # type-coerced @id values route through the same lazy anchor
+    doc2 = {"@context": [{"@base": None}, {"@base": "r/"},
+                         {"k": {"@id": "http://e/k", "@type": "@id"}}],
+            "k": "obj"}
+    expected2 = [{"http://e/k": [{"@id": "http://b/r/obj"}]}]
+    assert ref.expand(json.loads(json.dumps(doc2)), dict(opts)) == expected2
+    assert api.expand(doc2, dict(opts)) == expected2
+    # with an ABSENT API base the reference ValueErrors on the lazy resolve
+    # (bare resolve against '') — this engine anchors on its synthetic
+    # document base instead: graceful crash-class divergence
+    with pytest.raises(ValueError):
+        ref.expand(json.loads(json.dumps(doc)), {})
+    out = api.expand(doc, {})
+    assert out[0]["@id"].endswith("/rel/doc")

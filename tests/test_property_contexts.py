@@ -159,6 +159,13 @@ nested_contexts = st.sampled_from([
     {"@propagate": False, "t": EX + "noprop"},
     [None, {"t": EX + "after-null"}],
     {"@base": EX + "sub/"},
+    # wave N+23: RAW relative @base storage + lazy per-resolution anchoring
+    # (reference stores 'rel/' unresolved when the active base is null,
+    # jsonld.py:3400-3407, then resolves it against the API base at every
+    # document-relative resolution, jsonld.py:6105-6110)
+    [{"@base": None}, {"@base": "rel/"}],
+    [{"@base": None}, {"@base": "rel/sub/", "@vocab": "w"}],
+    [{"@base": EX + "a/"}, {"@base": "sub/"}, {"@base": "../up/"}],
 ])
 
 # wave N+14: full-body recursion — any body can appear as a child node of

@@ -24,7 +24,7 @@ from pyld_spark.jsonld.expand import (
     is_list_object,
     is_value_object,
 )
-from pyld_spark.jsonld.iri import relativize_iri
+from pyld_spark.jsonld.iri import relativize_iri, resolve_iri
 
 
 def _sort_key(term: str):
@@ -301,7 +301,22 @@ def compact_iri(
 
     if not vocab:
         if active.base is not None:
-            return relativize_iri(active.base, iri)
+            base = active.base
+            from pyld_spark.jsonld.iri import is_absolute_iri
+
+            if not is_absolute_iri(base):
+                # the reference's compact-side ladder anchors the stored
+                # @base on the API base on EVERY relativization
+                # (jsonld.py:5381: unresolve(iri, resolve(ctx_base, base)))
+                # — for a RAW relative @base this is where it becomes
+                # absolute; reference ValueErrors when the API base is
+                # ''/None, this engine falls back to its synthetic document
+                # base (same graceful class as the expansion-side anchor)
+                from pyld_spark.jsonld.context import DEFAULT_BASE_IRI
+
+                anchor = active.original_base or DEFAULT_BASE_IRI
+                base = resolve_iri(anchor, base)
+            return relativize_iri(base, iri)
     return iri
 
 

@@ -161,3 +161,25 @@ def test_relative_context_base_lazily_anchored_on_api_base():
         ref.expand(json.loads(json.dumps(doc)), {})
     out = api.expand(doc, {})
     assert out[0]["@id"].endswith("/rel/doc")
+
+
+def test_relative_context_base_anchored_in_compaction():
+    # compact-side twin of the lazy anchor: the reference relativizes
+    # against resolve(ctx_base, api_base) on EVERY compaction
+    # (jsonld.py:5381), so a RAW relative @base still shortens IRIs when
+    # the API base makes it absolute
+    ref = get_reference_jsonld()
+    doc = [{"@id": "http://b/rel/doc", "http://e/p": [{"@value": "v"}]}]
+    ctx = [{"@base": None}, {"@base": "rel/"}]
+    opts = {"base": "http://b/"}
+    expected = {"@context": [{"@base": None}, {"@base": "rel/"}],
+                "@id": "doc", "http://e/p": "v"}
+    assert ref.compact(json.loads(json.dumps(doc)),
+                       json.loads(json.dumps(ctx)), dict(opts)) == expected
+    assert api.compact(doc, ctx, dict(opts)) == expected
+    # reference ValueErrors when the API base is absent; graceful here
+    with pytest.raises(ValueError):
+        ref.compact(json.loads(json.dumps(doc)),
+                    json.loads(json.dumps(ctx)), {})
+    out = api.compact(doc, ctx, {})
+    assert "@id" in out

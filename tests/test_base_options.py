@@ -183,3 +183,29 @@ def test_relative_context_base_anchored_in_compaction():
                     json.loads(json.dumps(ctx)), {})
     out = api.compact(doc, ctx, {})
     assert "@id" in out
+
+
+def test_property_scoped_relative_base_graceful():
+    # a PROPERTY-scoped context carrying a relative @base crashes the
+    # reference with a bare ValueError (its scoped-context processing
+    # resolves eagerly against an empty base), while the equivalent
+    # TYPE-scoped shape succeeds and lazily anchors on the API base
+    # ("tscope/" -> http://b/tscope/). This engine treats both shapes the
+    # same way: graceful, anchored on the API base.
+    ref = get_reference_jsonld()
+    opts = {"base": "http://b/"}
+    tdoc = {"@context": {"T": {"@id": "http://e/T",
+                               "@context": {"@base": "tscope/"}}},
+            "@type": "T", "@id": "self", "http://e/p": "v"}
+    expected_t = [{"@id": "http://b/tscope/self", "@type": ["http://e/T"],
+                   "http://e/p": [{"@value": "v"}]}]
+    assert ref.expand(json.loads(json.dumps(tdoc)), dict(opts)) == expected_t
+    assert api.expand(tdoc, dict(opts)) == expected_t
+    pdoc = {"@context": {"n": {"@id": "http://e/n",
+                               "@context": {"@base": "scope/"}}},
+            "n": {"@id": "child", "http://e/p": "v"}}
+    with pytest.raises(ValueError):
+        ref.expand(json.loads(json.dumps(pdoc)), dict(opts))
+    out = api.expand(pdoc, dict(opts))
+    assert out == [{"http://e/n": [{"@id": "http://b/scope/child",
+                                    "http://e/p": [{"@value": "v"}]}]}]

@@ -253,6 +253,17 @@ def from_rdf(dataset, options: dict | None = None) -> list:
             # as (uncoded) JsonLdErrors, never bare ValueErrors
             # (reference nquads.py parse → JsonLdError 'invalid quad')
             raise JsonLdError(str(e), "invalid N-Quads") from e
+    elif isinstance(dataset, dict):
+        # the reference's parsed RDF-dataset shape — what its parse_nquads
+        # returns and registered custom parsers produce
+        # ({graph_name: [{subject, predicate, object}, ...]}); terms are
+        # the same {'type', 'value', ...} dicts this engine uses, so only
+        # the graph key moves into the quad tuple
+        dataset = [
+            (t["subject"], t["predicate"], t["object"], graph)
+            for graph, triples in dataset.items()
+            for t in triples
+        ]
     return _from_rdf_alg(
         dataset,
         use_native_types=o.get("useNativeTypes", False),

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from pyld_spark.jsonld import api
@@ -191,3 +193,19 @@ def test_i18n_datatype_decode_matches_reference_split_semantics():
             ref.from_rdf(quad(dt), dict(opts))
         out = api.from_rdf(quad(dt), dict(opts))
         assert out[0]["http://e/p"][0] == {"@value": "x", "@type": dt}, suffix
+
+
+def test_from_rdf_accepts_parsed_dataset_dict():
+    # the reference's from_rdf consumes the parsed RDF-dataset dict shape
+    # ({graph: [{subject, predicate, object}]}) — what parse_nquads returns
+    # and registered custom parsers produce — not just N-Quads strings
+    ref = get_reference_jsonld()
+    nq = ('_:a <http://e/p> "v" .\n'
+          '<http://e/s> <http://e/q> _:a <http://e/g> .\n'
+          '<http://e/s> <http://e/p> "1"^^'
+          '<http://www.w3.org/2001/XMLSchema#integer> .\n')
+    parsed = ref.parse_nquads(nq)
+    for opts in ({}, {"useNativeTypes": True}, {"useRdfType": True}):
+        r = ref.from_rdf(json.loads(json.dumps(parsed)), dict(opts))
+        m = api.from_rdf(json.loads(json.dumps(parsed)), dict(opts))
+        assert m == r, opts

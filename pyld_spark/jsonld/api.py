@@ -235,7 +235,16 @@ def to_rdf(document, options: dict | None = None):
     )
     if o.get("format") in ("application/n-quads", "application/nquads"):
         return serialize_quads(quads)
-    return quads
+    # no serialization requested: the reference returns the RDF-dataset
+    # dict ({graph_name: [{subject, predicate, object}, ...]}) — the same
+    # shape its parse_nquads produces and from_rdf accepts; the default
+    # graph key is always present, even empty (its node map seeds it)
+    dataset: dict = {"@default": []}
+    for s, p, obj, g in quads:
+        dataset.setdefault(g, []).append(
+            {"subject": s, "predicate": p, "object": obj}
+        )
+    return dataset
 
 
 def from_rdf(dataset, options: dict | None = None) -> list:
@@ -404,7 +413,12 @@ def normalize(document, options: dict | None = None):
     if o.get("inputFormat") in ("application/n-quads", "application/nquads"):
         quads = parse_nquads(document)
     else:
-        quads = to_rdf(document, {**o, "format": None, "produceGeneralizedRdf": False})
+        expanded = expand(document, o)
+        quads = _to_rdf_alg(
+            expanded,
+            produce_generalized_rdf=False,
+            rdf_direction=o.get("rdfDirection"),
+        )
     result = canonize_quads(quads, algorithm)
     if o.get("format") in ("application/n-quads", "application/nquads"):
         return result

@@ -146,3 +146,27 @@ def test_transcript_docs_tordf_matches_reference(spark, sf_dir):
         expected = ref.to_rdf(doc, options={"format": "application/n-quads"})
         actual = my_nquads(doc)
         assert actual == expected, f"conv {row.conv_id} mismatch"
+
+
+def test_to_rdf_without_format_returns_dataset_dict():
+    # no-format to_rdf returns the reference's RDF-dataset dict shape
+    # ({graph: [{subject, predicate, object}]}), with the default graph
+    # key always present even when empty — byte-comparable to the
+    # reference and directly consumable by from_rdf
+    import json as _json
+
+    from pyld_spark.jsonld import api
+
+    ref = get_reference_jsonld()
+    for doc in (
+        {"@id": "http://e/s", "http://e/p": ["v", {"@id": "http://e/o"}]},
+        {"@graph": [{"@id": "http://e/a", "http://e/p": "x"}],
+         "@id": "http://e/g"},
+        {},
+    ):
+        r = ref.to_rdf(_json.loads(_json.dumps(doc)), {})
+        m = api.to_rdf(_json.loads(_json.dumps(doc)), {})
+        assert _json.dumps(m, sort_keys=True) == _json.dumps(r, sort_keys=True)
+        assert "@default" in m
+        # the dict round-trips through this engine's from_rdf
+        assert api.from_rdf(m, {}) == ref.from_rdf(r, {})

@@ -40,6 +40,43 @@ def unregister_rdf_parser(content_type: str) -> None:
     _rdf_parsers.pop(content_type, None)
 
 
+def parse_nquads_dataset(input_: str) -> dict:
+    """N-Quads → the reference's RDF-dataset dict shape
+    ({graph_name: [{subject, predicate, object}, ...]}, reference
+    jsonld.py parse_nquads) — no default-graph seeding: an input with no
+    default-graph quads has no '@default' key, exactly like the
+    reference."""
+    dataset: dict = {}
+    for s, p, o, g in parse_nquads(input_):
+        dataset.setdefault(g, []).append(
+            {"subject": s, "predicate": p, "object": o}
+        )
+    return dataset
+
+
+def serialize_nquad(triple: dict, graph_name: str | None = None) -> str:
+    """One dataset-dict triple (+ optional graph name) → one N-Quad line
+    (reference jsonld.py serialize_nquad)."""
+    from pyld_spark.jsonld.nquads import serialize_quad
+
+    return serialize_quad(
+        (triple["subject"], triple["predicate"], triple["object"],
+         graph_name or "@default")
+    )
+
+
+def serialize_nquads(dataset: dict) -> str:
+    """Dataset dict → sorted N-Quads string (reference jsonld.py
+    serialize_nquads: per-line sort then join)."""
+    lines = [
+        serialize_nquad(t, None if g == "@default" else g)
+        for g, triples in dataset.items()
+        for t in triples
+    ]
+    lines.sort()
+    return "".join(lines)
+
+
 def get_context_value(active_ctx: Context, key, type_=None):
     """Term-definition lookup on a processed context (reference
     JsonLdProcessor.get_context_value, jsonld.py:1271-1310): returns the
@@ -262,9 +299,10 @@ def from_rdf(dataset, options: dict | None = None) -> list:
             # as (uncoded) JsonLdErrors, never bare ValueErrors
             # (reference nquads.py parse → JsonLdError 'invalid quad')
             raise JsonLdError(str(e), "invalid N-Quads") from e
-    elif isinstance(dataset, dict):
+    if isinstance(dataset, dict):
         # the reference's parsed RDF-dataset shape — what its parse_nquads
-        # returns and registered custom parsers produce
+        # returns and registered custom parsers produce (a user-registered
+        # reference-style parser lands here via the string branch above)
         # ({graph_name: [{subject, predicate, object}, ...]}); terms are
         # the same {'type', 'value', ...} dicts this engine uses, so only
         # the graph key moves into the quad tuple
@@ -422,4 +460,6 @@ def normalize(document, options: dict | None = None):
     result = canonize_quads(quads, algorithm)
     if o.get("format") in ("application/n-quads", "application/nquads"):
         return result
-    return parse_nquads(result)
+    # no output format: the reference returns the canonical quads re-parsed
+    # into the RDF-dataset dict shape
+    return parse_nquads_dataset(result)

@@ -140,3 +140,36 @@ def test_parse_nquads_rejects_unknown_escape():
         '<http://e/s> <http://e/p> "\\t\\b\\n\\r\\f\\"\\\'\\\\\\u00E9\\U0001D11E" .\n'
     )
     assert quads[0][2]["value"] == "\t\b\n\r\f\"'\\é\U0001D11E"
+
+
+def test_reference_dataset_dialect_functions():
+    # the public api layer speaks the reference's dataset-dict dialect:
+    # parse_nquads_dataset / serialize_nquads / serialize_nquad mirror the
+    # reference module functions byte-for-byte, normalize without a format
+    # returns the re-parsed dict, and a user-registered reference-style
+    # parser (returning the dict shape) flows through from_rdf
+    import json
+
+    from pyld_spark.jsonld import api
+    from tests.ref_oracle import get_reference_jsonld
+
+    ref = get_reference_jsonld()
+    nq = ('_:a <http://e/p> "x\\ty"@en-us .\n'
+          '<http://e/s> <http://e/p> "1"^^'
+          '<http://www.w3.org/2001/XMLSchema#integer> <http://e/g> .\n')
+    ds_ref = ref.parse_nquads(nq)
+    ds_my = api.parse_nquads_dataset(nq)
+    assert json.dumps(ds_my, sort_keys=True) == json.dumps(ds_ref, sort_keys=True)
+    assert api.parse_nquads_dataset("") == {}
+    assert api.serialize_nquads(ds_my) == ref.serialize_nquads(
+        json.loads(json.dumps(ds_ref)))
+    doc = {"@id": "http://e/s", "http://e/p": [{"@id": "_:b"}, "v"]}
+    r = ref.normalize(json.loads(json.dumps(doc)), {"algorithm": "URDNA2015"})
+    m = api.normalize(json.loads(json.dumps(doc)), {"algorithm": "URDNA2015"})
+    assert json.dumps(m, sort_keys=True) == json.dumps(r, sort_keys=True)
+    api.register_rdf_parser("application/x-ref-style", ref.parse_nquads)
+    try:
+        out = api.from_rdf(nq, {"format": "application/x-ref-style"})
+        assert out == ref.from_rdf(nq, {"format": "application/n-quads"})
+    finally:
+        api.unregister_rdf_parser("application/x-ref-style")

@@ -40,6 +40,16 @@ def unregister_rdf_parser(content_type: str) -> None:
     _rdf_parsers.pop(content_type, None)
 
 
+def canonicalize(obj, utf8: bool = True):
+    """RFC 8785 (JCS) canonical JSON of ``obj`` — the reference's
+    module-level ``canonicalize`` (its vendored c14n package): UTF-8
+    bytes by default, the text form with ``utf8=False``."""
+    from pyld_spark.jsonld.jcs import canonicalize as _jcs
+
+    text = _jcs(obj)
+    return text.encode("utf-8") if utf8 else text
+
+
 def parse_nquads_dataset(input_: str) -> dict:
     """N-Quads → the reference's RDF-dataset dict shape
     ({graph_name: [{subject, predicate, object}, ...]}, reference

@@ -620,7 +620,7 @@ def test_set_keyed_node_is_not_a_blank_node():
     out = api.frame(json.loads(json.dumps(doc)),
                     {"@context": json.loads(json.dumps(ctx))})
     assert out["@id"] is None
-    assert api.to_rdf(json.loads(json.dumps(doc))) == []
+    assert api.to_rdf(json.loads(json.dumps(doc))) == {"@default": []}
 
 
 def test_empty_array_value_key_silently_vanishes():

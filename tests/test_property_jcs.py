@@ -68,3 +68,16 @@ def test_jcs_matches_reference(value):
     if isinstance(mine, bytes):
         mine = mine.decode("utf-8")
     assert mine == ref, f"\nvalue={value!r}\nmine={mine!r}\nref ={ref!r}"
+
+
+def test_api_canonicalize_matches_reference_module_function():
+    # api.canonicalize mirrors the reference's module-level canonicalize
+    # (vendored c14n): UTF-8 bytes by default, text with utf8=False
+    from pyld_spark.jsonld import api
+
+    ref = get_reference_jsonld()
+    for obj in ({"b": 1.5, "a": [True, None, "xé"]}, [], {"k": 1e21},
+                "plain", 42, {"nested": {"deep": [0.1, -0.0]}}):
+        assert api.canonicalize(obj) == ref.canonicalize(obj)
+        assert api.canonicalize(obj, utf8=False) == ref.canonicalize(
+            obj, utf8=False)

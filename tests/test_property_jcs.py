@@ -74,6 +74,7 @@ def test_api_canonicalize_matches_reference_module_function():
     # api.canonicalize mirrors the reference's module-level canonicalize
     # (vendored c14n): UTF-8 bytes by default, text with utf8=False
     from pyld_spark.jsonld import api
+    from tests.ref_oracle import get_reference_jsonld
 
     ref = get_reference_jsonld()
     for obj in ({"b": 1.5, "a": [True, None, "xé"]}, [], {"k": 1e21},

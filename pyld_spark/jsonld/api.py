@@ -40,6 +40,40 @@ def unregister_rdf_parser(content_type: str) -> None:
     _rdf_parsers.pop(content_type, None)
 
 
+def load_html(input_, url, profile, options):
+    """Reference-signature HTML script extraction (jsonld.py:6639-6738):
+    selects by URL fragment id, else by ``profile``-typed scripts with a
+    plain-ld+json fallback, else first/all scripts per
+    ``options['extractAllScripts']``; a ``<base href>`` resolved against
+    ``options['base']`` (or the document url) is written back into
+    ``options['base']`` exactly like the reference mutates it."""
+    from pyld_spark.jsonld.iri import resolve_iri
+    from pyld_spark.sources.html_ingest import _BASE_RE, _visible_html
+    from pyld_spark.sources.html_ingest import load_html as _load
+
+    options = options if options is not None else {}
+    m = _BASE_RE.search(_visible_html(input_))
+    if m:
+        href = m.group(1)
+        effective = options.get("base", url)
+        if effective:
+            href = resolve_iri(effective, href)
+        options["base"] = href
+    return _load(
+        input_, url,
+        extract_all_scripts=options.get("extractAllScripts", False),
+        profile=profile,
+    )
+
+
+def parse_link_header(header: str):
+    """Re-export of the Link-header parser (reference jsonld.py
+    parse_link_header) under the reference's module-level name."""
+    from pyld_spark.sources.link_header import parse_link_header as _p
+
+    return _p(header)
+
+
 def canonicalize(obj, utf8: bool = True):
     """RFC 8785 (JCS) canonical JSON of ``obj`` — the reference's
     module-level ``canonicalize`` (its vendored c14n package): UTF-8

@@ -89,16 +89,26 @@ def _parse_body(body: str):
         )
 
 
-def extract_scripts(html: str, fragment: str | None = None) -> list:
+_TYPE_VAL_RE = re.compile(
+    r"""\btype\s*=\s*["']([^"']*)["']""", re.IGNORECASE
+)
+
+
+def extract_scripts(html: str, fragment: str | None = None,
+                    profile: str | None = None) -> list:
     """Raw bodies of JSON-LD scripts, in document order; with a
-    ``fragment``, only the script whose id matches. Bodies are returned
-    UNPARSED: the reference parses lazily (first script only unless
-    extractAllScripts), so invalid JSON in an unselected script must not
-    raise. Comments are stripped first — lxml sees a commented-out
-    ``<script>`` as a comment node, never an element (jsonld.py:6658) —
-    but a ``<!--`` INSIDE a script body is raw text, not a comment."""
+    ``fragment``, only the script whose id matches. With a ``profile``,
+    scripts typed ``application/ld+json;profile={profile}...`` are
+    preferred, falling back to ALL ld+json scripts when none match
+    (reference jsonld.py:6697-6704). Bodies are returned UNPARSED: the
+    reference parses lazily (first script only unless extractAllScripts),
+    so invalid JSON in an unselected script must not raise. Comments are
+    stripped first — lxml sees a commented-out ``<script>`` as a comment
+    node, never an element (jsonld.py:6658) — but a ``<!--`` INSIDE a
+    script body is raw text, not a comment."""
     html = _visible_html(html)
     out = []
+    profiled = []
     for m in _SCRIPT_RE.finditer(html):
         attrs = m.group("attrs")
         if not _TYPE_RE.search(attrs):
@@ -107,12 +117,18 @@ def extract_scripts(html: str, fragment: str | None = None) -> list:
             id_m = _ID_RE.search(attrs)
             if id_m is None or id_m.group(1) != fragment:
                 continue
+        if profile is not None:
+            tv = _TYPE_VAL_RE.search(attrs)
+            if tv is not None and tv.group(1).startswith(
+                f"application/ld+json;profile={profile}"
+            ):
+                profiled.append(m.group("body"))
         out.append(m.group("body"))
     if fragment is not None and not out:
         raise JsonLdError(
             f"no ld+json script with id={fragment}", "loading document failed"
         )
-    return out
+    return profiled or out
 
 
 def html_base(html: str, document_url: str | None = None) -> str | None:
@@ -125,12 +141,14 @@ def html_base(html: str, document_url: str | None = None) -> str | None:
 
 
 def load_html(html: str, url: str | None = None,
-              extract_all_scripts: bool = False):
+              extract_all_scripts: bool = False,
+              profile: str | None = None):
     """HTML → JSON-LD document (reference load_html semantics)."""
     fragment = None
     if url and "#" in url:
         url, fragment = url.split("#", 1)
-    scripts = extract_scripts(html, fragment or None)
+    scripts = extract_scripts(html, fragment or None,
+                              None if fragment else profile)
     if not scripts:
         raise JsonLdError("no ld+json scripts found", "loading document failed")
     if fragment is not None or not extract_all_scripts:

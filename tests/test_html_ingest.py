@@ -110,3 +110,33 @@ def test_unterminated_comment_hides_rest_of_page():
         '<script type="application/ld+json">2</script>'
     )
     assert extract_scripts(page) == ["1"]
+
+
+def test_api_load_html_reference_signature_and_profile_selection():
+    # api.load_html mirrors the reference signature (input, url, profile,
+    # options): profile-typed scripts preferred with plain-ld+json
+    # fallback (jsonld.py:6697-6704), fragment-id selection wins over
+    # profile, <base href> resolved against options['base'] (or the url)
+    # is written back into options['base'] like the reference mutates it
+    from pyld_spark.jsonld import api
+
+    html = (
+        '<html><head><base href="sub/x">\n'
+        '<script type="application/ld+json;profile=http://p/">{"a": 1}'
+        "</script>\n"
+        '<script type="application/ld+json">{"b": 2}</script>\n'
+        '<script type="application/ld+json" id="frag1">{"c": 3}</script>\n'
+        "</head></html>"
+    )
+    opts = {}
+    assert api.load_html(html, "http://h/doc", "http://p/", opts) == {"a": 1}
+    assert opts["base"] == "http://h/sub/x"
+    # unmatched profile falls back to ALL ld+json scripts, first wins
+    assert api.load_html(html, "http://h/doc", "http://no/", {}) == {"a": 1}
+    assert api.load_html(html, "http://h/doc#frag1", None, {}) == {"c": 3}
+    assert api.load_html(
+        html, "http://h/doc", None, {"extractAllScripts": True}
+    ) == [{"a": 1}, {"b": 2}, {"c": 3}]
+    opts = {"base": "http://other/dir/"}
+    api.load_html(html, "http://h/doc", None, opts)
+    assert opts["base"] == "http://other/dir/sub/x"

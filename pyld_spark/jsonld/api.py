@@ -218,6 +218,15 @@ def expand(document, options: dict | None = None) -> list:
             # reference jsonld.py:632: setdefault only fires when the user
             # did not pass a base at all
             o["base"] = remote.get("documentUrl", url) or ""
+    if document is None:
+        # a None document — direct or loader-returned — raises the coded
+        # loading error (reference jsonld.py:641-653: the NullRemoteDocument
+        # wrap fires for NON-string inputs too, since every input becomes a
+        # remote-doc envelope first)
+        raise JsonLdError(
+            "No remote document found at the given URL.",
+            "loading document failed",
+        )
     ctx = _make_context(o)
     if ctx.base is None and ctx.original_base is None and not ctx.base_disabled:
         # the default document base must exist BEFORE any context is
@@ -249,10 +258,15 @@ def expand(document, options: dict | None = None) -> list:
 
 def compact(document, ctx, options: dict | None = None) -> dict:
     if ctx is None:
-        # reference parity (jsonld.py:760-766): compaction requires a context
+        # reference parity (jsonld.py:760-766): the MODULE wrapper rejects a
+        # null context before the processor method runs — so
+        # compact(None, None) errors while compact(None, {}) is None
         raise JsonLdError(
             "the compaction context must not be null", "invalid local context"
         )
+    if document is None:
+        # "nothing to compact" early return (reference jsonld.py:480-482)
+        return None
     o = _options(options)
     loader = _loader(o)
     expanded = document if o.get("skipExpansion") else expand(document, o)
@@ -355,6 +369,14 @@ def from_rdf(dataset, options: dict | None = None) -> list:
             for graph, triples in dataset.items()
             for t in triples
         ]
+    elif not isinstance(dataset, (list, tuple)):
+        # the reference dies with a bare AttributeError on e.g. an int
+        # dataset; quarantine-grade coded error here instead
+        raise JsonLdError(
+            f"dataset must be a string, parsed dataset dict, or quad list; "
+            f"got {type(dataset).__name__}",
+            "invalid input",
+        )
     return _from_rdf_alg(
         dataset,
         use_native_types=o.get("useNativeTypes", False),

@@ -209,3 +209,42 @@ def test_property_scoped_relative_base_graceful():
     out = api.expand(pdoc, dict(opts))
     assert out == [{"http://e/n": [{"@id": "http://b/scope/child",
                                     "http://e/p": [{"@value": "v"}]}]}]
+
+
+def test_none_document_api_matrix_matches_reference():
+    # None documents: every op raises the coded loading error via the
+    # NullRemoteDocument wrap (jsonld.py:641-653 — non-string inputs also
+    # pass through the remote-doc envelope), EXCEPT compact, whose module
+    # wrapper validates the context first and whose processor method then
+    # early-returns None (jsonld.py:480-482). Wave N+24 probes.
+    ref = get_reference_jsonld()
+
+    def code(fn, *a):
+        try:
+            return ("ok", fn(*a))
+        except Exception as e:  # noqa: BLE001
+            c, cd = e, getattr(e, "code", None)
+            for _ in range(5):
+                if cd is not None or c is None:
+                    break
+                c = getattr(c, "cause", None) or getattr(c, "__cause__", None)
+                cd = getattr(c, "code", None) if c else None
+            return ("err", cd)
+
+    for f in (ref, api):
+        assert code(f.expand, None) == ("err", "loading document failed")
+        assert code(f.flatten, None) == ("err", "loading document failed")
+        assert code(f.frame, None, {}) == ("err", "loading document failed")
+        assert code(f.to_rdf, None) == ("err", "loading document failed")
+        assert code(f.normalize, None) == ("err", "loading document failed")
+        assert code(f.compact, None, {}) == ("ok", None)
+        assert code(f.compact, None, None) == ("err", "invalid local context")
+    # non-dataset from_rdf inputs: the reference dies with a bare
+    # AttributeError; this engine raises a coded error
+    with pytest.raises(Exception):
+        ref.from_rdf(42, {})
+    try:
+        api.from_rdf(42, {})
+        raise AssertionError("expected coded error")
+    except Exception as e:  # noqa: BLE001
+        assert getattr(e, "code", None) == "invalid input"

@@ -1080,6 +1080,10 @@ def _q_framed_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Driver checks the first 50 entries. Round-5 rotation: the 18
+        # entries that lacked a round-4 driver CORRECTNESS row now sit
+        # inside the checked window; 18 round-4-certified data-ops
+        # queries moved to the tail (their r04 rows stay authoritative).
         "list_chain_lengths": _q_list_chain_lengths,
         "fromrdf_roundtrip": _q_fromrdf_roundtrip,
         "framed_conversations": _q_framed,
@@ -1105,26 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_khop": _q_kg_entity_khop,
         "entailed_entity_types": _q_entailed_types,
         "sameas_canonical_triples": _q_sameas_triples,
-        "exact_dedup": _q_exact_dedup,
-        "repetition_stats": _q_repetition,
-        "duplicate_spans": _q_duplicate_spans,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
-        "minhash_dedup_pairs": _q_minhash_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "doc_splits": _q_doc_splits,
-        "train_decontaminate": _q_decontaminate,
         "curation_ledger": _q_curation_ledger,
-        "pack_sequences": _q_pack_sequences,
-        "event_sessions": _q_event_sessions,
-        "asof_attribution": _q_asof_attribution,
-        "purchases_in_error_sessions": _q_purchases_in_error_sessions,
         "entity_triangles": _q_entity_triangles,
-        "event_rollup": _q_event_rollup,
-        "distinct_users_kmv": _q_distinct_users_kmv,
-        "doc_length_quantiles": _q_doc_length_quantiles,
-        "lang_stratified_sample": _q_lang_stratified,
-        "priority_sample_docs": _q_priority_sample,
-        "source_capped_docs": _q_source_cap,
         "streamed_event_rollup": _q_streamed_event_rollup,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_dedup,
@@ -1148,6 +1134,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
         "compact_corpus": _q_compact_corpus,
+        # ---- beyond the driver 50-query window (r04-certified) ----
+        "exact_dedup": _q_exact_dedup,
+        "repetition_stats": _q_repetition,
+        "duplicate_spans": _q_duplicate_spans,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "doc_splits": _q_doc_splits,
+        "train_decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
+        "event_sessions": _q_event_sessions,
+        "asof_attribution": _q_asof_attribution,
+        "purchases_in_error_sessions": _q_purchases_in_error_sessions,
+        "event_rollup": _q_event_rollup,
+        "distinct_users_kmv": _q_distinct_users_kmv,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "lang_stratified_sample": _q_lang_stratified,
+        "priority_sample_docs": _q_priority_sample,
+        "source_capped_docs": _q_source_cap,
     }
 
 

@@ -26,6 +26,7 @@ from pyld_spark.jsonld.fromrdf import from_rdf as _from_rdf_alg
 from pyld_spark.jsonld.nodemap import flatten as _flatten_alg
 from pyld_spark.jsonld.nquads import parse_nquads, serialize_quads
 from pyld_spark.jsonld.rdf import to_rdf as _to_rdf_alg
+from pyld_spark.jsonld.rdf import to_rdf_dataset as _to_rdf_dataset
 
 _rdf_parsers: dict = {"application/n-quads": parse_nquads,
                       "application/nquads": parse_nquads}
@@ -323,23 +324,23 @@ def flatten(document, ctx=None, options: dict | None = None):
 def to_rdf(document, options: dict | None = None):
     o = _options(options)
     expanded = expand(document, o)
-    quads = _to_rdf_alg(
+    if o.get("format") in ("application/n-quads", "application/nquads"):
+        quads = _to_rdf_alg(
+            expanded,
+            produce_generalized_rdf=o.get("produceGeneralizedRdf", False),
+            rdf_direction=o.get("rdfDirection"),
+        )
+        return serialize_quads(quads)
+    # no serialization requested: the reference returns the RDF-dataset
+    # dict ({graph_name: [{subject, predicate, object}, ...]}) — the same
+    # shape its parse_nquads produces and from_rdf accepts. Built from the
+    # node map (not the quad list) so EMPTY named graphs keep their keys
+    # exactly like the reference (jsonld.py:1040-1044)
+    return _to_rdf_dataset(
         expanded,
         produce_generalized_rdf=o.get("produceGeneralizedRdf", False),
         rdf_direction=o.get("rdfDirection"),
     )
-    if o.get("format") in ("application/n-quads", "application/nquads"):
-        return serialize_quads(quads)
-    # no serialization requested: the reference returns the RDF-dataset
-    # dict ({graph_name: [{subject, predicate, object}, ...]}) — the same
-    # shape its parse_nquads produces and from_rdf accepts; the default
-    # graph key is always present, even empty (its node map seeds it)
-    dataset: dict = {"@default": []}
-    for s, p, obj, g in quads:
-        dataset.setdefault(g, []).append(
-            {"subject": s, "predicate": p, "object": obj}
-        )
-    return dataset
 
 
 def from_rdf(dataset, options: dict | None = None) -> list:
@@ -363,12 +364,23 @@ def from_rdf(dataset, options: dict | None = None) -> list:
         # reference-style parser lands here via the string branch above)
         # ({graph_name: [{subject, predicate, object}, ...]}); terms are
         # the same {'type', 'value', ...} dicts this engine uses, so only
-        # the graph key moves into the quad tuple
+        # the graph key moves into the quad tuple. Graph KEYS are kept
+        # separately: an EMPTY named graph must still seed its node
+        # (reference jsonld.py:2934-2937)
+        graph_names = list(dataset)
         dataset = [
             (t["subject"], t["predicate"], t["object"], graph)
             for graph, triples in dataset.items()
             for t in triples
         ]
+        return _from_rdf_alg(
+            dataset,
+            use_native_types=o.get("useNativeTypes", False),
+            use_rdf_type=o.get("useRdfType", False),
+            rdf_direction=o.get("rdfDirection"),
+            processing_mode=o["processingMode"],
+            graph_names=graph_names,
+        )
     elif not isinstance(dataset, (list, tuple)):
         # the reference dies with a bare AttributeError on e.g. an int
         # dataset; quarantine-grade coded error here instead

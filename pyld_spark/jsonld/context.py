@@ -186,6 +186,40 @@ class DocumentLoader:
 _EMPTY_LOADER = DocumentLoader()
 
 
+def _resolve_import_targets(loader: DocumentLoader, url, base, cycles: set) -> list:
+    """Follow a remote context URL to its LEAF payloads, mirroring the
+    reference resolver's flattening (context_resolver.py:44-98,120-207):
+    a remote document whose ``@context`` is a string is followed (relative
+    URLs resolve against that document's URL); lists flatten; leaves are
+    context dicts or None/False. Cycle/overflow checks use the 1.1
+    'context overflow' code (the @import path is 1.1-only)."""
+    url = resolve_iri(base, url)
+    if url in cycles:
+        raise JsonLdError(f"cyclic context: {url}", "context overflow")
+    if len(cycles) > MAX_CONTEXT_URLS:
+        raise JsonLdError("too many remote contexts", "context overflow")
+    cycles.add(url)
+    loaded = loader.load(url)
+    doc = loaded["document"]
+    if not isinstance(doc, dict):
+        raise JsonLdError(
+            f"remote context is not an object: {url}", "invalid remote context"
+        )
+    doc_url = loaded.get("documentUrl", url)
+    payload = doc.get("@context", {})
+    leaves: list = []
+    for el in payload if isinstance(payload, list) else [payload]:
+        if isinstance(el, str):
+            leaves.extend(_resolve_import_targets(loader, el, doc_url, cycles))
+        elif el is None or el is False or isinstance(el, dict):
+            leaves.append(el)
+        else:
+            raise JsonLdError(
+                "@context must be object/string/null", "invalid local context"
+            )
+    return leaves
+
+
 def process_context(
     active: Context,
     local,
@@ -321,18 +355,27 @@ def process_context(
             if result.processing_mode == "json-ld-1.0":
                 raise JsonLdError("@version in 1.0 mode", "processing mode conflict")
 
-        # @import
+        # @import — the reference resolves the value through its context
+        # RESOLVER (jsonld.py:3352-3364 → context_resolver.resolve), which
+        # flattens remote string CHAINS (an imported document whose @context
+        # is itself a URL is followed, against that document's URL) and
+        # errors with 'invalid remote context' only when the flattened
+        # resolution is not exactly one context (soak wave N+24 find)
         if "@import" in context:
             if result.processing_mode == "json-ld-1.0":
                 raise JsonLdError("@import in 1.0 mode", "invalid context entry")
             imp = context["@import"]
             if not isinstance(imp, str):
                 raise JsonLdError("@import must be a string", "invalid @import value")
-            url = resolve_iri(base_url, imp)
-            loaded = loader.load(url)
-            doc = loaded["document"]
-            imported = doc.get("@context") if isinstance(doc, dict) else None
+            leaves = _resolve_import_targets(loader, imp, base_url, set())
+            if len(leaves) != 1:
+                raise JsonLdError(
+                    "@import must reference a single context", "invalid remote context"
+                )
+            imported = leaves[0]
             if not isinstance(imported, dict):
+                # a null leaf crashes the reference with a bare TypeError
+                # (`'@import' in False`, jsonld.py:3375) — coded here
                 raise JsonLdError("@import must reference a context object", "invalid remote context")
             if "@import" in imported:
                 raise JsonLdError("imported context has @import", "invalid context entry")

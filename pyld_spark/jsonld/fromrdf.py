@@ -219,12 +219,23 @@ def from_rdf(
     use_rdf_type: bool = False,
     rdf_direction: str | None = None,
     processing_mode: str = "json-ld-1.1",
+    graph_names: list | None = None,
 ) -> list:
     """Quads ``(subj_term, pred_term, obj_term, graph_name)`` → expanded
-    JSON-LD array."""
+    JSON-LD array.
+
+    ``graph_names`` (dataset-dict callers) carries EVERY graph key of the
+    source dataset, triples or not: the reference seeds graph_map and the
+    default-graph node per dataset ENTRY (jsonld.py:2934-2937), so an
+    empty named graph still surfaces as {'@id': …, '@graph': []}."""
     default_graph: dict = {}
     graph_map: dict = {"@default": default_graph}
     referenced_once: dict = {}
+
+    for name in graph_names or ():
+        graph_map.setdefault(name, {})
+        if name != "@default" and name not in default_graph:
+            default_graph[name] = {"@id": name}
 
     for subj, pred, obj, name in quads:
         node_map = graph_map.setdefault(name, {})

@@ -235,3 +235,29 @@ def to_rdf(expanded: list, produce_generalized_rdf: bool = False,
     issuer = IdentifierIssuer("_:b")
     node_map = build_node_map(expanded, issuer)
     return node_map_to_quads(node_map, issuer, produce_generalized_rdf, rdf_direction)
+
+
+def to_rdf_dataset(expanded: list, produce_generalized_rdf: bool = False,
+                   rdf_direction: str | None = None) -> dict:
+    """Expanded form → the reference's RDF-dataset dict
+    ({graph_name: [{subject, predicate, object}, …]}), PRESERVING empty
+    named graphs: the reference seeds dataset[graph_name] for every
+    node-map graph whose name is '@default' or passes _is_absolute_iri —
+    bnode labels included (jsonld.py:1040-1044) — so a named graph with no
+    triples survives the no-format dialect and round-trips through
+    from_rdf as {'@id': …, '@graph': []} (soak wave N+25 find)."""
+    issuer = IdentifierIssuer("_:b")
+    node_map = build_node_map(expanded, issuer)
+    quads = node_map_to_quads(node_map, issuer, produce_generalized_rdf, rdf_direction)
+    key = lambda k: (k is not None, k if k is not None else "")  # noqa: E731
+    dataset: dict = {}
+    for graph_name in sorted(node_map, key=key):
+        if graph_name == "@default" or (
+            isinstance(graph_name, str)
+            and (graph_name.startswith("_:") or is_absolute_iri(graph_name))
+        ):
+            dataset[graph_name] = []
+    dataset.setdefault("@default", [])
+    for s, p, obj, g in quads:
+        dataset[g].append({"subject": s, "predicate": p, "object": obj})
+    return dataset

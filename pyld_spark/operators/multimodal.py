@@ -126,15 +126,21 @@ def decode_image_stub(media: DataFrame, target_size: tuple[int, int] = (224, 224
     path and stays SQL-oracle-replayable. With ``fake=False`` the payload is
     REALLY decoded: PNG via the pure-numpy codec
     (:func:`pyld_spark.operators.codecs.decode_png` — zlib + scanline
-    unfiltering, no PIL), nearest-neighbor-resized to ``target_size``, and
-    checksummed over the decoded pixel bytes. JPEG/WebP (libjpeg-backed)
-    remain ``NotImplementedError``.
+    unfiltering, no PIL) and baseline-sequential JPEG via
+    :func:`pyld_spark.operators.codecs.decode_jpeg` (Huffman + IDCT,
+    4:4:4/4:2:0/4:2:2; progressive/arithmetic raise), nearest-neighbor-
+    resized to ``target_size``, and checksummed over the decoded pixel
+    bytes. WebP (libwebp-backed) remains ``NotImplementedError``.
     """
 
     tw, th = target_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyld_spark.operators.codecs import decode_png, resize_nearest
+        from pyld_spark.operators.codecs import (
+            decode_jpeg,
+            decode_png,
+            resize_nearest,
+        )
 
         for pdf in batches:
             rows = []
@@ -154,12 +160,15 @@ def decode_image_stub(media: DataFrame, target_size: tuple[int, int] = (224, 224
                     ).hexdigest()
                     rows.append((int(doc_id), digest, min(tw, int(w)), min(th, int(h))))
                     continue
-                if mt != "image/png":
+                if mt == "image/png":
+                    arr = decode_png(bytes(payload or b""))
+                elif mt == "image/jpeg":
+                    arr = decode_jpeg(bytes(payload or b""))
+                else:
                     raise NotImplementedError(
-                        f"{mt} decode requires libjpeg/libwebp — not available "
-                        "in this container (PNG decodes natively)"
+                        f"{mt} decode requires libwebp — not available "
+                        "in this container (PNG/baseline-JPEG decode natively)"
                     )
-                arr = decode_png(bytes(payload or b""))
                 resized = resize_nearest(arr, (tw, th))
                 digest = hashlib.md5(resized.tobytes()).hexdigest()
                 rows.append((int(doc_id), digest, tw, th))

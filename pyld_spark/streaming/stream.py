@@ -280,6 +280,7 @@ def stream_event_rollup(
     watermark: str = "1 hour",
     query_name: str = "stream_event_rollup",
     max_files_per_trigger: int = 4,
+    foreach_batch=None,
 ):
     """The continuous-aggregate twin of operators/rollup.time_rollup: a
     watermarked tumbling-window aggregate in append mode, so each bucket
@@ -290,7 +291,11 @@ def stream_event_rollup(
     Append-mode caveat the parity test accounts for: buckets newer than
     (max event time − watermark) are still open when a replay drains, so
     they are withheld, not wrong — a later trigger with later data emits
-    them. Returns the StreamingQuery over an in-memory sink."""
+    them. Returns the StreamingQuery over an in-memory sink, or — when
+    ``foreach_batch`` is given — over ``foreachBatch(foreach_batch)`` (the
+    production shape: closed buckets appended to a real table per
+    micro-batch; exactly-once comes from the checkpoint's commit log plus
+    an idempotent-by-batch-id writer)."""
     if grain not in _GRAIN_WINDOWS:
         raise ValueError(f"grain must be one of {sorted(_GRAIN_WINDOWS)}")
     events = (
@@ -312,11 +317,12 @@ def stream_event_rollup(
             "n_events", "sum_value", "min_value", "max_value",
         )
     )
-    return (
+    writer = (
         agg.writeStream.option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
-        .format("memory")
         .queryName(query_name)
-        .start()
     )
+    if foreach_batch is not None:
+        return writer.foreachBatch(foreach_batch).start()
+    return writer.format("memory").start()

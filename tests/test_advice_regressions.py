@@ -129,3 +129,24 @@ def test_fromrdf_i18n_with_native_types_stays_typed():
         assert equal_unordered(actual, expected), (
             f"{opts}: mine={actual!r} ref={expected!r}"
         )
+
+
+def test_empty_named_graph_survives_dataset_dict_roundtrip():
+    """Soak wave N+25 find: {'t': {'@graph': []}} expands to a named graph
+    with NO triples. The reference's no-format to_rdf still seeds
+    dataset['_:b1'] (jsonld.py:1040-1044) and its from_rdf seeds the graph
+    node per dataset ENTRY (jsonld.py:2934-2937), so the empty graph
+    round-trips as {'@id': '_:b1', '@graph': []}. Both halves were lost
+    here before round 5 (quad-list-only plumbing)."""
+    import json
+
+    from pyld_spark.jsonld import api
+    from tests.ref_oracle import get_reference_jsonld
+
+    doc = {"@context": [{"t": "http://e/t"}], "t": {"@graph": []}}
+    ds = api.to_rdf(api.expand(doc))
+    assert "_:b1" in ds and ds["_:b1"] == []
+    mine = api.from_rdf(ds)
+    ref = get_reference_jsonld()
+    want = ref.from_rdf(ref.to_rdf(ref.expand(doc, {}), {}), {})
+    assert json.dumps(mine, sort_keys=True) == json.dumps(want, sort_keys=True)

@@ -275,3 +275,102 @@ def test_sample_frames_real_y4m_path(spark):
                 stack[fi][:, :, :, None][..., 0].tobytes()
             ).hexdigest()[:16]
     assert got == want
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def _test_rgb(h=48, w=64):
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = (_rng(7).integers(0, 64, (h, w)) + 96).astype(np.uint8)
+    return img
+
+
+@pytest.mark.parametrize("quality,tol", [(95, 6), (75, 14), (40, 30)])
+def test_jpeg_gray_roundtrip(quality, tol):
+    from pyld_spark.operators.codecs import decode_jpeg, encode_jpeg_baseline
+
+    img = np.linspace(0, 255, 56 * 72, dtype=np.uint8).reshape(56, 72)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=quality))
+    assert out.shape == (56, 72, 1)
+    err = np.abs(out[:, :, 0].astype(float) - img.astype(float))
+    assert err.max() <= tol and err.mean() < tol / 3
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420", "422"])
+def test_jpeg_rgb_roundtrip_subsampling(subsampling):
+    from pyld_spark.operators.codecs import decode_jpeg, encode_jpeg_baseline
+
+    img = _test_rgb(50, 70)  # non-multiple-of-16 dims exercise MCU padding
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=90,
+                                           subsampling=subsampling))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(float) - img.astype(float))
+    # chroma smoothing at 420/422 raises local error on the noisy channel
+    assert err.mean() < 8, err.mean()
+
+
+def test_jpeg_deterministic():
+    from pyld_spark.operators.codecs import encode_jpeg_baseline
+
+    img = _test_rgb()
+    assert encode_jpeg_baseline(img) == encode_jpeg_baseline(img)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from pyld_spark.operators.codecs import decode_jpeg, encode_jpeg_baseline
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # flip the SOF0 marker to SOF2 (progressive): same structure otherwise
+    b = bytearray(encode_jpeg_baseline(_test_rgb()))
+    idx = bytes(b).index(b"\xFF\xC0")
+    b[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(b))
+    b[idx + 1] = 0xC9  # arithmetic
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_1x1_and_extreme_values():
+    from pyld_spark.operators.codecs import decode_jpeg, encode_jpeg_baseline
+
+    for v in (0, 255):
+        px = np.full((1, 1), v, np.uint8)
+        out = decode_jpeg(encode_jpeg_baseline(px, quality=95))
+        assert out.shape == (1, 1, 1)
+        assert abs(int(out[0, 0, 0]) - v) <= 4
+
+
+def test_decode_image_real_jpeg_path(spark):
+    """image/jpeg rows REALLY decode in the Spark kernel (fake=False):
+    checksum equals a driver-side decode+resize of the same payload."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyld_spark.operators.codecs import decode_jpeg, encode_jpeg_baseline
+    from pyld_spark.operators.multimodal import MEDIA_SCHEMA, decode_image_stub
+
+    img = _test_rgb(32, 40)
+    payload = encode_jpeg_baseline(img, quality=85, subsampling="420")
+    rows = [
+        (1, "image/jpeg", payload, 40, 32),
+        (2, "image/png", encode_png(img), 40, 32),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media_type", "payload",
+                                    "width", "height"]),
+        MEDIA_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in
+           decode_image_stub(media, target_size=(8, 8), fake=False).collect()}
+    assert set(out) == {1, 2}
+    want = hashlib.md5(
+        resize_nearest(decode_jpeg(payload), (8, 8)).tobytes()
+    ).hexdigest()
+    assert out[1]["pixels_checksum"] == want
+    assert (out[1]["out_width"], out[1]["out_height"]) == (8, 8)

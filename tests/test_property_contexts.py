@@ -1123,3 +1123,139 @@ def test_random_context_mode10_ops_matches_reference(ctx, body, op):
                 f"\nop={op}\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
                 f"\nmine={my_out!r}\nref ={ref_out!r}"
             )
+
+
+# --- wave N+24: @import-heavy remote-context chains x protected terms -----
+#
+# @import (reference jsonld.py:3300-3343) has its own validation ladder —
+# 1.1-only, string-valued, imported context must be an object and must not
+# itself contain @import — and its merge ORDER (imported context is the
+# base, importing context's own entries win) interacts with @protected
+# propagation and later redefinition/nullification attempts. The remote
+# axis above samples only a single fixed "import-b" shape; this axis
+# randomizes the import topology AND what the document does afterwards.
+
+URL_C = "http://ctx.example/c"
+
+import_topologies = st.sampled_from([
+    "plain-import",      # A imports B (B from the random context space)
+    "import-protects",   # A imports B and sets @protected: true itself
+    "imported-protects", # B carries @protected: true
+    "both-protect",      # both sides set @protected
+    "nested-import",     # B itself contains @import URL_C -> invalid context entry
+    "import-cycle",      # B imports A (also the nested-@import error path)
+    "import-array",      # B's @context is an ARRAY -> invalid remote context
+    "import-string",     # B's @context is a bare remote URL string
+    "import-missing",    # @import target 404s -> loading remote context failed
+    "import-nonstring",  # @import value is not a string -> invalid @import value
+    "no-version",        # A omits @version -> @import invalid in 1.0 mode
+])
+
+followup_ctxs = st.sampled_from([
+    None,                                   # nothing after URL_A
+    "null",                                 # null-context over protected terms
+    {"t": "http://e/redef"},                # redefinition attempt
+    {"@version": 1.1, "t": "http://e/redef"},
+    {"@version": 1.1, "t": {"@id": "http://e/t", "@type": "@id"}},  # same-def repeat
+    {"@version": 1.1, "@protected": True, "u": "http://e/u"},
+    {"@version": 1.1, "t": None},           # null redefinition of protected term
+])
+
+
+@settings(
+    max_examples=150, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(contexts, bodies, import_topologies, followup_ctxs, st.booleans())
+def test_import_protected_chain_matches_reference(
+    ctx, body, topo, followup, protect_b_term
+):
+    import copy
+
+    from pyld_spark.jsonld import api
+    from pyld_spark.jsonld.context import DocumentLoader
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    ref = get_reference_jsonld()
+
+    b_payload = json.loads(json.dumps(ctx)) if isinstance(ctx, dict) else {
+        "rb": EX + "rb"}
+    if protect_b_term:
+        b_payload = {**b_payload, "t": {"@id": EX + "t", "@protected": True}}
+
+    a_ctx = {"@version": 1.1, "@import": URL_B, "t": EX + "t"}
+    b_ctx = b_payload
+    if topo == "import-protects":
+        a_ctx["@protected"] = True
+    elif topo == "imported-protects":
+        b_ctx = {**b_payload, "@protected": True}
+    elif topo == "both-protect":
+        a_ctx["@protected"] = True
+        b_ctx = {**b_payload, "@protected": True}
+    elif topo == "nested-import":
+        b_ctx = {**b_payload, "@import": URL_C}
+    elif topo == "import-cycle":
+        b_ctx = {**b_payload, "@import": URL_A}
+    elif topo == "import-array":
+        b_ctx = [b_payload, {"u2": EX + "u2"}]
+    elif topo == "import-string":
+        b_ctx = URL_C
+    elif topo == "import-missing":
+        a_ctx["@import"] = "http://ctx.example/missing"
+    elif topo == "import-nonstring":
+        a_ctx["@import"] = {"bogus": True}
+    elif topo == "no-version":
+        del a_ctx["@version"]
+
+    docs = {
+        URL_A: {"@context": a_ctx},
+        URL_B: {"@context": b_ctx},
+        URL_C: {"@context": {"rc": EX + "rc"}},
+    }
+    doc_ctx = [URL_A]
+    if followup is not None:
+        doc_ctx.append(None if followup == "null" else
+                       json.loads(json.dumps(followup)))
+    doc = {"@context": doc_ctx, **body, "t": "x"}
+
+    def ref_loader(url, options=None):
+        if url not in docs:
+            raise Exception(f"404 {url}")
+        return {
+            "contextUrl": None, "documentUrl": url,
+            "document": copy.deepcopy(docs[url]),
+        }
+
+    ref_out, ref_code, ref_crash = None, None, None
+    try:
+        ref_out = ref.expand(
+            json.loads(json.dumps(doc)), {"documentLoader": ref_loader}
+        )
+    except Exception as e:  # noqa: BLE001
+        ref_code = _code_of(e)
+        if ref_code is None:
+            ref_crash = type(e).__name__
+
+    my_out, my_code = None, None
+    try:
+        my_out = api.expand(
+            json.loads(json.dumps(doc)),
+            {"documentLoader": DocumentLoader(copy.deepcopy(docs))},
+        )
+    except JsonLdError as e:
+        my_code = e.code
+
+    if ref_crash is not None:
+        return
+    assert my_code == ref_code, (
+        f"\ntopo={topo} followup={followup!r} protect_b={protect_b_term}"
+        f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+        f"\nref_code={ref_code} my_code={my_code}"
+        f"\nref_out={ref_out!r}\nmy_out={my_out!r}"
+    )
+    if ref_code is None:
+        assert equal_unordered(my_out, ref_out), (
+            f"\ntopo={topo} followup={followup!r} protect_b={protect_b_term}"
+            f"\nctx={json.dumps(ctx)}\nbody={json.dumps(body)}"
+            f"\nmine={my_out!r}\nref ={ref_out!r}"
+        )

@@ -246,3 +246,123 @@ def test_random_bnode_graph_normalize_matches_reference(edges, alg, decorate):
     assert my_out == ref_out, (
         f"\nnq={nq!r}\nalg={alg}\nmine={my_out!r}\nref ={ref_out!r}"
     )
+
+
+# --- wave N+25b: f4cafdb-class random graphs through BOTH algorithms ------
+#
+# The round-4 distributed-c14n bug (multi-position bnode quads deduped ->
+# wrong first-degree hash, commit f4cafdb) was found by a seeded random-
+# graph axis running URDNA2015 only. This axis drives the same structural
+# class — self-loops (multi-position bnodes), EXACT duplicate quads,
+# bnode graph NAMES, IRI anchors and literals breaking symmetry — through
+# both URDNA2015 and URGNA2012 as a hypothesis grammar, so the analogous
+# bug class in the URGNA2012 overrides (sha1, _:g graph masking, p/r
+# positions, subject-xor-object related set; reference canon.py:438-509)
+# gets the same detector.
+
+_gnode = st.integers(min_value=0, max_value=5)
+_rich_quad = st.one_of(
+    # bnode -> bnode edge (self-loops allowed: multi-position bnodes)
+    st.tuples(st.just("edge"), _gnode, st.sampled_from(["p", "q"]), _gnode),
+    # bnode -> IRI anchor / literal (symmetry breakers)
+    st.tuples(st.just("anchor"), _gnode, st.sampled_from(["p", "q"]),
+              st.sampled_from(["a", "b"])),
+    st.tuples(st.just("lit"), _gnode, st.sampled_from(["p", "q"]),
+              st.sampled_from(["x", "y"])),
+    # quad with a bnode GRAPH NAME (graph masking differs across algorithms)
+    st.tuples(st.just("graphed"), _gnode, st.sampled_from(["p", "q"]), _gnode,
+              _gnode),
+    # IRI-subject quad whose object is a bnode (r-position in URGNA2012)
+    st.tuples(st.just("inbound"), st.sampled_from(["s1", "s2"]),
+              st.sampled_from(["p", "q"]), _gnode),
+)
+rich_graphs = st.tuples(
+    st.lists(_rich_quad, min_size=1, max_size=14),
+    st.booleans(),  # append an exact duplicate of the first line
+)
+
+
+def _rich_nquads(spec) -> str:
+    quads, dup = spec
+    lines = []
+    for q in quads:
+        kind = q[0]
+        if kind == "edge":
+            _, s, p, o = q
+            lines.append(f"_:b{s} <http://e/{p}> _:b{o} .\n")
+        elif kind == "anchor":
+            _, s, p, o = q
+            lines.append(f"_:b{s} <http://e/{p}> <http://e/{o}> .\n")
+        elif kind == "lit":
+            _, s, p, v = q
+            lines.append(f"_:b{s} <http://e/{p}> \"{v}\" .\n")
+        elif kind == "graphed":
+            _, s, p, o, g = q
+            lines.append(f"_:b{s} <http://e/{p}> _:b{o} _:b{g} .\n")
+        else:  # inbound
+            _, s, p, o = q
+            lines.append(f"<http://e/{s}> <http://e/{p}> _:b{o} .\n")
+    if dup:
+        lines.append(lines[0])
+    return "".join(lines)
+
+
+def _relabel_equivalent(a: str, b: str) -> bool:
+    """True if a bijection over _:c14nN labels maps a's quad multiset to
+    b's — the acceptance criterion for URGNA2012 tie orbits (see below)."""
+    import re
+    from itertools import permutations as _perms
+
+    la = sorted(set(re.findall(r"_:c14n\d+", a)))
+    lb = sorted(set(re.findall(r"_:c14n\d+", b)))
+    if len(la) != len(lb) or len(la) > 8:
+        return False
+    lines_b = sorted(b.splitlines())
+    for p in _perms(lb):
+        m = dict(zip(la, p))
+        relabeled = sorted(
+            re.sub(r"_:c14n\d+", lambda mt: m[mt.group(0)], ln)
+            for ln in a.splitlines()
+        )
+        if relabeled == lines_b:
+            return True
+    return False
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(spec=rich_graphs, alg=st.sampled_from(["URDNA2015", "URGNA2012"]))
+def test_rich_random_graph_normalize_matches_reference(spec, alg):
+    """URDNA2015: byte-exact. URGNA2012: byte-exact OR a documented tie
+    orbit — the legacy algorithm's related-node set never examines the
+    graph position ('_:g' masking, reference canon.py:447-456,462-505),
+    so bnodes distinguishable only by which named graph they label hash
+    identically and issuance falls back to the reference's SET-iteration
+    order, which is PYTHONHASHSEED-dependent (verified: seeds 0/1/42 vs 2
+    emit different strings for '_:b0 <p> _:b0 _:b1 . / _:b0 <p> _:b2
+    _:b3 .'). This engine resolves those ties by sorted order — run-to-run
+    deterministic — so on a tie we accept label-bijection equivalence and
+    additionally require idempotency (re-normalizing our output is a
+    fixed point)."""
+    from pyld_spark.jsonld import api
+
+    ref = get_reference_jsonld()
+    nq = _rich_nquads(spec)
+    opts = {
+        "algorithm": alg,
+        "inputFormat": "application/n-quads",
+        "format": "application/n-quads",
+    }
+    ref_out = ref.normalize(nq, dict(opts))
+    my_out = api.normalize(nq, dict(opts))
+    if my_out == ref_out:
+        return
+    assert alg == "URGNA2012" and _relabel_equivalent(my_out, ref_out), (
+        f"\nnq={nq!r}\nalg={alg}\nmine={my_out!r}\nref ={ref_out!r}"
+    )
+    again = api.normalize(my_out, dict(opts))
+    assert again == my_out, (
+        f"not idempotent\nnq={nq!r}\nmine={my_out!r}\nagain={again!r}"
+    )

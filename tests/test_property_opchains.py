@@ -146,3 +146,48 @@ def test_frame_then_compact_matches_reference(ctx, body, frame_body, ctx2):
         f"frame->compact\nctx={_dumps(ctx)}\nbody={_dumps(body)}"
         f"\nframe={_dumps(frame_body)}\nctx2={_dumps(ctx2)}",
     )
+
+
+# --- wave N+25: 4-stage expand -> toRdf -> fromRdf -> compact chains ------
+#
+# The full round-trip through the RDF layer and back to compact form, with
+# each engine consuming its OWN intermediates (expanded form, dataset dict
+# or serialized N-Quads, fromRdf output). Exercises the to_rdf no-format
+# dataset-dict dialect, the n-quads serializer/parser pair, rdfDirection
+# round-trips, and useNativeTypes re-compaction in one amplifying chain.
+# Reference parity target: jsonld.py expand (566) -> to_rdf (996) ->
+# from_rdf (945) -> compact (412).
+
+import hypothesis.strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=300, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(
+    ctx=contexts, body=bodies, ctx2=contexts,
+    serialize=st.booleans(),
+    native=st.booleans(),
+    direction=st.sampled_from([None, "i18n-datatype", "compound-literal"]),
+)
+def test_expand_tordf_fromrdf_compact_matches_reference(
+    ctx, body, ctx2, serialize, native, direction
+):
+    doc = {"@context": ctx, **body}
+    tordf_opts = {"rdfDirection": direction}
+    fromrdf_opts = {"useNativeTypes": native, "rdfDirection": direction}
+    if serialize:
+        tordf_opts["format"] = "application/n-quads"
+        fromrdf_opts["format"] = "application/n-quads"
+    _assert_chain(
+        [
+            ("expand", doc),
+            ("to_rdf", tordf_opts),
+            ("from_rdf", fromrdf_opts),
+            ("compact", ctx2),
+        ],
+        f"expand->tordf->fromrdf->compact serialize={serialize} "
+        f"native={native} direction={direction}"
+        f"\nctx={_dumps(ctx)}\nbody={_dumps(body)}\nctx2={_dumps(ctx2)}",
+    )

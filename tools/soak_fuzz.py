@@ -99,6 +99,16 @@ PLAN = {
                       "test_flatten_then_frame_matches_reference", 8000),
     "frame_compact": ("tests.test_property_opchains",
                       "test_frame_then_compact_matches_reference", 8000),
+    # wave N+24/N+25 (round-5 verdict item 2): @import chains x protected
+    # terms; 4-stage expand->toRdf->fromRdf->compact chains; f4cafdb-class
+    # rich random graphs through BOTH c14n algorithms
+    "import_chain": ("tests.test_property_contexts",
+                     "test_import_protected_chain_matches_reference", 20000),
+    "rdf_roundtrip4": ("tests.test_property_opchains",
+                       "test_expand_tordf_fromrdf_compact_matches_reference",
+                       20000),
+    "c14n_rich": ("tests.test_property_fromrdf",
+                  "test_rich_random_graph_normalize_matches_reference", 15000),
 }
 
 

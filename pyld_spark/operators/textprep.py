@@ -119,9 +119,15 @@ def ngram_decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hits_only: bool = False,
 ) -> DataFrame:
     """Flag training documents that share any word ``n``-gram with the
     evaluation set (the GPT-3/Gopher-style decontamination check).
+
+    ``hits_only=True`` returns just ``(doc_id, n_hits)`` for documents with
+    ≥1 eval-gram hit — skipping the full-train ``sizes`` join, so the
+    result is contamination-sized (tiny) and downstream joins against the
+    corpus broadcast instead of exchanging it (curation-ledger path).
 
     Returns one row per TRAIN document: (doc_id, n_grams, n_hits,
     contaminated). ``n_grams`` counts the doc's distinct n-grams,
@@ -147,6 +153,8 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
+    if hits_only:
+        return hits
     sizes = train.select(
         F.col(id_col),
         F.size(word_ngrams_expr(text_col, n)).cast("bigint").alias("n_grams"),

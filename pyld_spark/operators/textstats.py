@@ -70,30 +70,50 @@ def text_stats(documents: DataFrame, text_col: str = "text",
     )
 
 
+def quality_expr(text_col: str):
+    """The quality score as ONE column expression over ``text_col`` —
+    bit-identical to :func:`quality_score` (same sub-expressions, same
+    rounding points). Exists so composed pipelines (curation ledger) can
+    fold quality into an existing projection instead of paying a doc_id
+    join exchange per stage."""
+    toks = tokens_expr(text_col)
+    n_tokens_raw = F.size(toks)
+    n_tokens = n_tokens_raw.cast("bigint")
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    punct_ratio = F.round(
+        n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4
+    )
+    mean_wl = F.when(
+        n_tokens_raw > 0,
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / n_tokens_raw.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    word_len_score = F.when(
+        (mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 4)
+    return F.round(
+        (length_score * 0.4 + word_len_score * 0.3 + punct_score * 0.3), 4
+    )
+
+
 def quality_score(documents: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality score in [0,1]: rewards reasonable length and
     word sizes, penalizes punctuation soup — the classic cheap pre-filter
     for training corpora."""
-    stats = text_stats(documents, text_col, id_col)
-    length_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
-    word_len_score = F.when(
-        (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
-    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4)
-    return stats.select(
-        id_col,
-        F.round(
-            (length_score * 0.4 + word_len_score * 0.3 + punct_score * 0.3), 4
-        ).alias("quality"),
-    )
+    return documents.select(id_col, quality_expr(text_col).alias("quality"))
 
 
-def language_id(documents: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker language ID: score = number of marker-word hits per
-    language; predicted = argmax (ties broken alphabetically), 'und' if no
-    hits. Deterministic and SQL-reproducible."""
+def _lang_best_struct(text_col: str):
+    """(hits, lang) struct of the argmax marker language for ``text_col``."""
     toks = tokens_expr(text_col)
 
     def _contains(markers):
@@ -110,9 +130,24 @@ def language_id(documents: DataFrame, text_col: str = "text",
                 F.lit(lang).alias("lang"),
             )
         )
-    best = F.array_max(F.array(*scores))
     # array_max on struct compares (hits, lang) lexicographically: max hits,
     # then lexicographically-last language — invert lang for alpha tie-break
+    return F.array_max(F.array(*scores))
+
+
+def pred_lang_expr(text_col: str):
+    """The predicted-language column alone (expression-level twin of
+    :func:`language_id`, for join-free composition)."""
+    best = _lang_best_struct(text_col)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def language_id(documents: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: score = number of marker-word hits per
+    language; predicted = argmax (ties broken alphabetically), 'und' if no
+    hits. Deterministic and SQL-reproducible."""
+    best = _lang_best_struct(text_col)
     return documents.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),

@@ -108,3 +108,18 @@ def test_contamination_flag_independent_of_other_stages(spark):
         )
     finally:
         out.unpersist()
+
+
+def test_ledger_single_corpus_exchange_plan(spark, sf_dir):
+    """Round-5 verdict item 7 plan pin: the composed 5-stage ledger pays
+    exactly ONE full-corpus exchange (the content-hash window); the
+    per-row stages are columns on one projection (no doc_id self-joins —
+    the pre-round-5 shape paid five corpus exchanges), and the
+    contamination join is broadcast (contamination-sized right side)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = curate_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(content_hash") == 1, plan
+    # the only other hash exchanges are contamination-sized (eval grams +
+    # hit doc_ids); the corpus never exchanges on doc_id
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "SortMergeJoin" not in plan, plan

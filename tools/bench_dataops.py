@@ -135,6 +135,27 @@ def main() -> None:
     timed("repetition_stats", repetition_stats(docs), n_docs)
     timed("duplicate_spans(k=10)", duplicate_spans(docs, k=10), n_docs)
 
+    # composed 5-stage curation ledger (round-5 verdict item 7): one
+    # content-hash exchange for the whole chain — see the plan pin in
+    # tests/test_curation.py. Timed via the noop SINK, not count():
+    # count() lets Catalyst prune every per-row column (language/quality)
+    # and reports only the window+join skeleton. lang='und' matches the
+    # synthetic vocab so all five ladder rungs stay live.
+    from pyld_spark.operators.curation import curate_documents
+
+    led = curate_documents(docs, lang="und")
+    lwalls = []
+    for _ in range(TRIALS):
+        t0 = time.time()
+        led.write.format("noop").mode("overwrite").save()
+        lwalls.append(round(time.time() - t0, 3))
+    print(json.dumps({
+        "op": "curation_ledger(5-stage,noop-sink)",
+        "wall_sec": min(lwalls), "trials": lwalls, "rows_out": n_docs,
+        "rows_in": n_docs,
+        "rows_in_per_sec": round(n_docs / min(lwalls)),
+    }), flush=True)
+
     vecs = synth_vecs(spark, n_vecs).localCheckpoint()
     _ = vecs.count()
     queries = vecs.where(F.col("vec_id") < 16).select(

@@ -106,7 +106,15 @@ class Pipeline:
         return out
 
     def run(self, transcripts: DataFrame, bucket_input: bool = False,
-            buckets: int = 64) -> dict[str, DataFrame]:
+            buckets: int = 64, fuse_assembly: bool = False) -> dict[str, DataFrame]:
+        """``fuse_assembly=True`` runs assembly INSIDE the triples stage
+        (one stage, no docs-table materialization): at corpus scale the
+        assembled-documents table is corpus-sized JSON, so the separate
+        stage costs a full extra write+read, and its short wall is mostly
+        fixed overhead that drags N→4N scaling (round-5 verdict item 3).
+        Bucketed input keeps the fused stage exchange-free end-to-end.
+        Trade-off: resume restarts from raw transcripts instead of the
+        docs checkpoint, and no 'assemble' lineage row is recorded."""
         from pyld_spark.operators.canonicalize import canonicalize_triples
         from pyld_spark.operators.expand_stage import docs_to_triples, split_quarantine
         from pyld_spark.operators.linking import (
@@ -120,7 +128,9 @@ class Pipeline:
         if bucket_input:
             transcripts = self._bucketed_transcripts(transcripts, buckets)
 
-        docs = self._stage("assemble", lambda: assemble_documents(transcripts))
+        docs = None
+        if not fuse_assembly:
+            docs = self._stage("assemble", lambda: assemble_documents(transcripts))
 
         linked = self._stage(
             "link", lambda: link_entities(extract_mentions(transcripts))
@@ -128,7 +138,8 @@ class Pipeline:
 
         triples = self._stage(
             "triples",
-            lambda: docs_to_triples(docs),
+            (lambda: docs_to_triples(assemble_documents(transcripts)))
+            if fuse_assembly else (lambda: docs_to_triples(docs)),
             error_split=split_quarantine,
         )
 
@@ -146,6 +157,14 @@ class Pipeline:
             return canonical.unionByName(link_trips)
 
         materialized = self._stage("materialize", build_materialize)
+        if fuse_assembly:
+            return {
+                "link": linked,
+                "triples": triples,
+                "canonicalize": canonical,
+                "entities": entities,
+                "materialize": materialized,
+            }
         return {
             "assemble": docs,
             "link": linked,

@@ -43,3 +43,20 @@ def test_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     rebuilt = [r.stage for r in lineage2 if r.run_id == "r2"]
     assert "canonicalize" in rebuilt
     assert "assemble" not in rebuilt and "triples" not in rebuilt
+
+
+def test_fused_assembly_matches_staged(spark, tmp_path):
+    """fuse_assembly=True (assembly inside the triples stage, no docs
+    materialization) produces byte-identical triples/canonicalize tables
+    to the staged pipeline."""
+    from pyld_spark.plans.pipeline import KgPipeline
+    from pyld_spark.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=40, turns_per_conv=6)
+    staged = KgPipeline(spark, str(tmp_path / "staged")).run(t)
+    fused = KgPipeline(spark, str(tmp_path / "fused")).run(t, fuse_assembly=True)
+    assert "assemble" not in fused
+    for stage in ("triples", "canonicalize", "materialize"):
+        a = sorted(map(tuple, staged[stage].collect()))
+        b = sorted(map(tuple, fused[stage].collect()))
+        assert a == b, stage

@@ -122,27 +122,39 @@ warm.count()
 canonicalize_triples(warm).count()
 warm.unpersist(); warm_docs.unpersist()
 
-t0 = time.perf_counter()
-assemble_documents(t).write.mode("overwrite").parquet(base + "/docs")
-t_asm = time.perf_counter() - t0
+fused = {fused}
+if fused:
+    # fuse_assembly shape (plans/pipeline.py run(fuse_assembly=True)):
+    # assembly runs INSIDE the triples stage off the bucketed scan — no
+    # docs materialization, one stage, still exchange-free. t_asm = 0 and
+    # t_triples carries the whole docs->triples path.
+    t_asm = 0.0
+    t0 = time.perf_counter()
+    triples, _ = split_quarantine(docs_to_triples(assemble_documents(t)))
+    triples.write.mode("overwrite").parquet(base + "/triples")
+    t_triples = time.perf_counter() - t0
+else:
+    t0 = time.perf_counter()
+    assemble_documents(t).write.mode("overwrite").parquet(base + "/docs")
+    t_asm = time.perf_counter() - t0
 
-# SMALL read splits for the docs->triples stage ONLY: default 128m/4m
-# packing coalesces the ~64 small docs files into ~9 splits, quantizing the
-# 4N level to task waves (9 tasks / 8 cores = 2 waves, one mostly idle).
-# Scoped per-stage because globally small splits blow up the canonicalize
-# shuffle's map-side count (mappers x reducers fetch segments), which taxes
-# exactly the multi-executor level (at N every shuffle read is local).
-spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-spark.conf.set("spark.sql.files.openCostInBytes", "1m")
-docs = spark.read.parquet(base + "/docs")
+    # SMALL read splits for the docs->triples stage ONLY: default 128m/4m
+    # packing coalesces the ~64 small docs files into ~9 splits, quantizing the
+    # 4N level to task waves (9 tasks / 8 cores = 2 waves, one mostly idle).
+    # Scoped per-stage because globally small splits blow up the canonicalize
+    # shuffle's map-side count (mappers x reducers fetch segments), which taxes
+    # exactly the multi-executor level (at N every shuffle read is local).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    docs = spark.read.parquet(base + "/docs")
 
-# checkpointed like plans/pipeline.py: the stage output is a parquet
-# materialization (executor-memory .cache() of the fat triples table
-# competes with the Python kernel for task cores and skews the levels)
-t0 = time.perf_counter()
-triples, _ = split_quarantine(docs_to_triples(docs))
-triples.write.mode("overwrite").parquet(base + "/triples")
-t_triples = time.perf_counter() - t0
+    # checkpointed like plans/pipeline.py: the stage output is a parquet
+    # materialization (executor-memory .cache() of the fat triples table
+    # competes with the Python kernel for task cores and skews the levels)
+    t0 = time.perf_counter()
+    triples, _ = split_quarantine(docs_to_triples(docs))
+    triples.write.mode("overwrite").parquet(base + "/triples")
+    t_triples = time.perf_counter() - t0
 spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
 spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
 triples = spark.read.parquet(base + "/triples")
@@ -175,7 +187,8 @@ def run_level(cores_max: int, n_convs: int, turns: int, exec_cores: int) -> dict
     whole run — so each level gets a hard timeout (LEVEL_TIMEOUT env,
     default 1800 s, far above any legitimate wall) and ONE retry."""
     code = _CHILD.format(repo=REPO, cores_max=cores_max, n_convs=n_convs,
-                         turns=turns, exec_cores=exec_cores)
+                         turns=turns, exec_cores=exec_cores,
+                         fused=os.environ.get("SCALING_FUSED", "") == "1")
     level_timeout = int(os.environ.get("LEVEL_TIMEOUT", "1800"))
     last_err = None
     for attempt in range(2):
@@ -233,7 +246,8 @@ def main() -> None:
         "full_pipeline_median": round(med_total[hi] / med_total[lo] / 4.0, 3),
     }
     print(json.dumps({
-        "mode": f"standalone 1 vs 4 executors ({exec_cores} cores each)",
+        "mode": f"standalone 1 vs 4 executors ({exec_cores} cores each)"
+                + (" fused-assembly" if os.environ.get("SCALING_FUSED", "") == "1" else ""),
         "trials": trials,
         "scaling_efficiency": eff,
         "throughput": {

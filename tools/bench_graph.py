@@ -101,6 +101,61 @@ def main() -> None:
         "pagerank_edge_visits_per_sec": round(5 * n_ce / wall_pr),
         "top_rank_fp": [int(r["rank_fp"]) for r in top],
     }
+    # -- workload 3 (round-5 verdict item 6): BGP + OPTIONAL and khop(k=4)
+    # on an 8M-triple KG derived from the random digraph: 4 predicates by
+    # edge hash, obj_kind='IRI' throughout — the triples-table shape the
+    # gate queries use, at graph-bench scale.
+    from pyld_spark.operators.kg_query import bgp_match, khop_neighborhood
+
+    triples = (
+        edges.select(
+            F.col("src").alias("subj"),
+            F.concat(F.lit("p:"), F.pmod(F.xxhash64("src", "dst"), F.lit(4))
+                     .cast("string")).alias("pred"),
+            F.lit("IRI").alias("obj_kind"),
+            F.col("dst").alias("obj_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _ = triples.count()
+    # unconstrained 3-hop path enumeration (~n_edges/4 bindings): the
+    # heavy-join shape; a constant-terminated chain on this uniform graph
+    # matches ~0 rows and AQE short-circuits it — not a bench
+    bgp = bgp_match(
+        triples,
+        patterns=[("?a", "p:0", "?b"), ("?b", "p:1", "?c"),
+                  ("?c", "p:2", "?d")],
+        filters=("a < b",),
+        optional=[("?a", "p:3", "?e")],
+    )
+    plan_bgp = bgp._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan_bgp and "BroadcastNestedLoopJoin" not in plan_bgp, plan_bgp
+    t0 = time.perf_counter()
+    n_bgp = bgp.count()
+    wall_bgp = time.perf_counter() - t0
+    out["bgp_optional_8m"] = {
+        "triples": n_edges,
+        "bindings": int(n_bgp),
+        "wall_sec": round(wall_bgp, 2),
+        "triples_per_sec": round(n_edges / wall_bgp),
+        "plan": "no-cartesian/no-BNLJ (asserted)",
+    }
+
+    seeds = spark.range(16).select(
+        F.pmod(F.xxhash64(F.col("id") + 99), F.lit(n_nodes)).cast("string").alias("node")
+    )
+    t0 = time.perf_counter()
+    kh = khop_neighborhood(triples, seeds, k=4)
+    n_kh = kh.count()
+    wall_kh = time.perf_counter() - t0
+    out["khop4_8m"] = {
+        "triples": n_edges,
+        "seeds": 16,
+        "reached": int(n_kh),
+        "wall_sec": round(wall_kh, 2),
+        "triples_per_sec": round(n_edges / wall_kh),
+    }
+
     print(json.dumps(out))
     spark.stop()
 

@@ -49,12 +49,11 @@ def test_fused_assembly_matches_staged(spark, tmp_path):
     """fuse_assembly=True (assembly inside the triples stage, no docs
     materialization) produces byte-identical triples/canonicalize tables
     to the staged pipeline."""
-    from pyld_spark.plans.pipeline import KgPipeline
     from pyld_spark.transcripts import synthesize_transcripts
 
     t = synthesize_transcripts(spark, n_convs=40, turns_per_conv=6)
-    staged = KgPipeline(spark, str(tmp_path / "staged")).run(t)
-    fused = KgPipeline(spark, str(tmp_path / "fused")).run(t, fuse_assembly=True)
+    staged = Pipeline(spark, str(tmp_path / "staged")).run(t)
+    fused = Pipeline(spark, str(tmp_path / "fused")).run(t, fuse_assembly=True)
     assert "assemble" not in fused
     for stage in ("triples", "canonicalize", "materialize"):
         a = sorted(map(tuple, staged[stage].collect()))

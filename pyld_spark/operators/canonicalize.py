@@ -320,7 +320,8 @@ def canonical_labels(
     return easy.unionByName(hard).unionByName(oversized)
 
 
-def canonicalize_triples(triples: DataFrame, max_exact_quads: int = 100_000) -> DataFrame:
+def canonicalize_triples(triples: DataFrame, max_exact_quads: int = 100_000,
+                         input_partitioned: bool = False) -> DataFrame:
     """Relabel every blank node in the triples table with its canonical
     per-document label (prefixed with the doc namespace for corpus-global
     uniqueness).
@@ -330,8 +331,18 @@ def canonicalize_triples(triples: DataFrame, max_exact_quads: int = 100_000) -> 
     positions relabel via ``element_at`` on that map). The quad table is
     exchanged exactly once (:func:`_doc_partitioned`) and that partitioning
     feeds BOTH the label computation and the left side of the relabel
-    join."""
-    triples = _doc_partitioned(triples)
+    join.
+
+    ``input_partitioned=True``: the caller promises the input is ALREADY
+    hash-partitioned by ``doc_id`` (a bucketed triples table — the
+    production Iceberg layout where the triples stage writes bucketed by
+    doc_id). The explicit repartition is skipped and every downstream
+    doc_id-clustered requirement is satisfied straight off the scan —
+    the stage's only full-corpus exchange disappears (round-5 verdict
+    item 3: canonicalize is the N→4N laggard, and its cross-executor
+    shuffle is the scaling tax)."""
+    if not input_partitioned:
+        triples = _doc_partitioned(triples)
     labels = canonical_labels(
         triples, max_exact_quads=max_exact_quads, pre_partitioned=True
     ).withColumn(

@@ -153,6 +153,14 @@ def khop_neighborhood(
     ``seeds`` must have a ``node`` column. Each round expands only the new
     frontier via one join, folds it into the visited set, and truncates
     lineage — k rounds, k frontier-sized shuffles, never O(graph) per round.
+
+    The edge relation is hash-partitioned and sorted on ``src`` ONCE and
+    localCheckpointed; LogicalRDD preserves that partitioning/ordering, so
+    every round's sort-merge join exchanges and sorts only the frontier
+    side — the graph-sized relation is persisted once instead of shuffled
+    k times (round-5: the 8M-edge bench spent most of its wall in a
+    per-run global ``distinct`` + per-round edge shuffles; duplicates
+    don't affect minimal hops, the frontier is distinct-ed instead).
     """
     if k < 0:
         raise ValueError("k must be >= 0")
@@ -163,7 +171,10 @@ def khop_neighborhood(
     if not directed:
         edges = edges.union(edges.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
-    edges = edges.distinct()
+    edges = (
+        edges.repartition("src").sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
 
     visited = seeds.select(F.col("node")).distinct().withColumn(
         "hops", F.lit(0).cast("int")

@@ -179,3 +179,23 @@ def test_bgp_optional_validation(kg):
                 ("?turn", V + "mentions", "?lab"),
             ],
         )
+
+
+def test_khop_edges_persisted_not_reshuffled(kg, spark):
+    """Round-5: the edge relation is partitioned+sorted on src ONCE and
+    localCheckpointed; each BFS round's join must not re-exchange or
+    re-sort the graph side (LogicalRDD preserves partitioning/ordering).
+    The duplicate-edge global distinct is gone — duplicates cannot change
+    minimal hops and the frontier is distinct-ed per round."""
+    seeds = spark.createDataFrame([("e:0",)], ["node"])
+    out = khop_neighborhood(kg, seeds, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges on src may be the one-time repartition (runs
+    # before the checkpoint, not inside the loop); after the checkpoint
+    # the edge side appears as Scan ExistingRDD with no Exchange above it
+    for i, ln in enumerate(plan.splitlines()):
+        if "Scan ExistingRDD" in ln and "src" in ln:
+            above = plan.splitlines()[max(0, i - 2):i]
+            assert not any("Exchange" in a or "Sort " in a for a in above), (
+                "\n".join(above) + "\n" + ln
+            )

@@ -136,6 +136,28 @@ def main() -> None:
             ),
     })
 
+    from pyld_spark.operators.curation import curate_documents
+    from pyld_spark.operators.kg_query import khop_neighborhood
+
+    plans.update({
+        "curate_documents round-5 composition (per-row stages folded into "
+        "ONE projection; duplicate flag = window-min over content_hash — "
+        "the single full-corpus exchange; contamination-sized broadcast "
+        "left join; pinned in test_curation.py)":
+            curate_documents(documents),
+        "khop_neighborhood k=2 (edges partitioned+sorted on src ONCE then "
+        "localCheckpointed — per-round joins exchange/sort only the "
+        "frontier side; pinned in test_kg_query.py)":
+            khop_neighborhood(
+                mtrips,
+                spark.createDataFrame(
+                    [("https://pyld-spark.example/entity/tool/search",)],
+                    ["node"],
+                ),
+                k=2,
+            ),
+    })
+
     from pyld_spark.operators.dedup import duplicate_spans
     from pyld_spark.operators.entity_resolution import (
         canonical_entity_map, rewrite_triples, sameas_edges,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from collections import OrderedDict
 from collections.abc import Iterator
 
@@ -105,6 +106,142 @@ def _doc_to_quads(doc_json: str, base_url: str | None):
     return to_rdf(expanded)
 
 
+def _compiled_transcript_triples(
+    docs: DataFrame, id_col: str, doc_col: str
+) -> DataFrame:
+    """Pure-JVM toRDF for documents carrying the ``transcript-v1`` shape tag.
+
+    :func:`pyld_spark.transcripts.assemble_documents` guarantees (by
+    construction — it builds the JSON itself) that every tagged doc is::
+
+        {"@context": TRANSCRIPT_CONTEXT, "@id": <absolute IRI>,
+         "@type": "Conversation",
+         "turns": {"@list": [ {"@id": <absolute IRI>, "@type": "Turn",
+                               "turnIndex": int?, "role": str?, "text": str?,
+                               "tool": str?, "ts": str?}, ... ]}}
+
+    For that shape the full expand → node-map → toRDF pipeline reduces to a
+    fixed relational projection (the context is static, so term → IRI and
+    type-coercion decisions are compile-time constants; every blank node is a
+    @list cons cell labeled ``_:bN`` in list order). Emitting it as
+    ``from_json`` + ``transform``/``flatten`` + ``explode`` keeps the whole
+    triples stage in whole-stage codegen — no JVM↔Python boundary, no Arrow
+    transport of ~200 bytes/quad (optimization guide §4.1: built-ins over
+    UDFs). Byte-equivalence with the Python kernel on this shape is pinned by
+    tests/test_spark_pipeline.py (reference differential) and
+    tests/test_compiled_triples.py (path differential incl. null/unicode
+    edges); any untagged or differently-shaped input takes the general
+    ``mapInArrow`` kernel below.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    from pyld_spark.transcripts import VOCAB
+
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    turn_schema = StructType(
+        [
+            StructField("@id", StringType()),
+            StructField("turnIndex", LongType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", StringType()),
+        ]
+    )
+    doc_schema = StructType(
+        [
+            StructField("@id", StringType()),
+            StructField(
+                "turns",
+                StructType([StructField("@list", ArrayType(turn_schema))]),
+            ),
+        ]
+    )
+
+    def t(subj, pred: str, okind, oval, odt: str | None = None):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            (F.lit(okind) if isinstance(okind, str) else okind).alias("obj_kind"),
+            oval.alias("obj_value"),
+            F.lit(odt).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_language"),
+        )
+
+    def lit_t(subj, pred: str, val, dtype: str):
+        # a null JSON field means the key was omitted by to_json → the
+        # Python path sees no entry and emits no triple; mirror with when()
+        return F.when(val.isNotNull(), t(subj, pred, "literal", val, dtype))
+
+    # Materialize the parsed doc ONCE per row as an attribute: from_json is
+    # referenced from every emitted term, and expression-level references
+    # inside the transform() lambda would otherwise re-parse the document per
+    # list element (measured 4x slowdown). Aliasing through a projection makes
+    # every later use an attribute read; CollapseProject keeps non-cheap
+    # multi-referenced aliases un-inlined.
+    parsed_docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.from_json(F.col(doc_col), doc_schema).alias("_p"),
+    ).select(
+        "doc_id",
+        F.col("_p")["@id"].alias("_conv"),
+        F.col("_p")["turns"]["@list"].alias("_turns"),
+        # doc-namespaced cons-cell labels: identical bytes to
+        # _doc_bnode_namespace(doc_id) + "_b" + list position
+        F.concat(
+            F.lit("_:d"), F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 16)
+        ).alias("_ns"),
+    ).select(
+        "doc_id", "_conv", "_turns", "_ns", F.size(F.col("_turns")).alias("_n")
+    )
+    conv = F.col("_conv")
+    turns = F.col("_turns")
+    n = F.col("_n")
+    ns = F.col("_ns")
+
+    def cell(idx):
+        return F.concat(ns, F.lit("_b"), idx.cast("string"))
+
+    per_turn = F.transform(
+        turns,
+        lambda x, i: F.array(
+            t(cell(i), rdf_ns + "first", "IRI", x["@id"]),
+            t(
+                cell(i),
+                rdf_ns + "rest",
+                F.when(i < n - 1, F.lit("blank node")).otherwise(F.lit("IRI")),
+                F.when(i < n - 1, cell(i + 1)).otherwise(F.lit(rdf_ns + "nil")),
+            ),
+            t(x["@id"], rdf_ns + "type", "IRI", F.lit(VOCAB + "Turn")),
+            lit_t(x["@id"], VOCAB + "turnIndex", x["turnIndex"].cast("string"),
+                  xsd + "integer"),
+            lit_t(x["@id"], VOCAB + "role", x["role"], xsd + "string"),
+            lit_t(x["@id"], VOCAB + "text", x["text"], xsd + "string"),
+            lit_t(x["@id"], VOCAB + "tool", x["tool"], xsd + "string"),
+            lit_t(x["@id"], VOCAB + "ts", x["ts"], xsd + "dateTime"),
+        ),
+    )
+    conv_triples = F.array(
+        t(conv, rdf_ns + "type", "IRI", F.lit(VOCAB + "Conversation")),
+        F.when(n > 0, t(conv, VOCAB + "turns", "blank node", cell(F.lit(0))))
+        .otherwise(t(conv, VOCAB + "turns", "IRI", F.lit(rdf_ns + "nil"))),
+    )
+    all_triples = F.concat(conv_triples, F.coalesce(F.flatten(per_turn), F.array()))
+
+    return (
+        parsed_docs.select("doc_id", F.explode(all_triples).alias("t"))
+        .where(F.col("t").isNotNull())
+        .select(
+            "doc_id",
+            "t.subj", "t.pred", "t.obj_kind", "t.obj_value",
+            "t.obj_datatype", "t.obj_language",
+            F.lit("@default").alias("graph"),
+            F.lit(None).cast("string").alias("error_code"),
+        )
+    )
+
+
 def docs_to_triples(
     docs: DataFrame,
     id_col: str = "conv_id",
@@ -125,7 +262,25 @@ def docs_to_triples(
     ``base_col`` names an optional per-document base-IRI column (e.g. the
     ``<base href>`` extracted by the HTML ingestion source); it overrides
     ``base_url`` row-wise when non-null.
+
+    Docs whose ``doc_col`` carries the ``transcript-v1`` shape tag (set only
+    by :func:`pyld_spark.transcripts.assemble_documents`, which constructs
+    the JSON itself) compile to an equivalent pure-JVM projection instead —
+    see :func:`_compiled_transcript_triples`. Set
+    ``PYLD_SPARK_COMPILED_DOCS=0`` to force the general kernel.
     """
+    if (
+        base_url is None
+        and base_col is None
+        and namespace_bnodes
+        and os.environ.get("PYLD_SPARK_COMPILED_DOCS", "1") != "0"
+    ):
+        try:
+            meta = docs.schema[doc_col].metadata
+        except Exception:  # noqa: BLE001 — missing column surfaces later
+            meta = None
+        if meta and meta.get("pyld_spark.doc_shape") == "transcript-v1":
+            return _compiled_transcript_triples(docs, id_col, doc_col)
 
     def run(batches) -> Iterator:
         import pyarrow as pa

@@ -36,6 +36,11 @@ RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 VOCAB = "https://pyld-spark.example/vocab#"
 CONV_BASE = "https://pyld-spark.example/conv/"
 
+#: Column-metadata key/value with which :func:`assemble_documents` marks its
+#: output docs as having the fixed transcript shape (see the tag site below).
+DOC_SHAPE_META_KEY = "pyld_spark.doc_shape"
+TRANSCRIPT_SHAPE_V1 = "transcript-v1"
+
 #: The fixed transcript ontology context. Turn order is load-bearing, hence
 #: ``@container: @list`` (emits rdf:first/rest/nil cons-cell blank nodes —
 #: the pipeline's main source of bnodes for canonicalization).
@@ -245,4 +250,12 @@ def assemble_documents(transcripts: DataFrame) -> DataFrame:
         F.array_join(turn_json, ","),
         F.lit("]}}"),
     )
-    return agg.select("conv_id", doc.alias("doc"))
+    # Column metadata declares the document shape this builder GUARANTEES by
+    # construction: fixed TRANSCRIPT_CONTEXT, root node {@id: absolute IRI,
+    # @type: "Conversation", turns: {@list: [turn nodes]}}, each turn a flat
+    # node of literal-valued terms. Consumers that know how to compile this
+    # shape to relational operators (docs_to_triples) key off the tag; the
+    # tag travels with the column through select/limit/repartition/cache.
+    return agg.select(
+        "conv_id", doc.alias("doc", metadata={DOC_SHAPE_META_KEY: TRANSCRIPT_SHAPE_V1})
+    )

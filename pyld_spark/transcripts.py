@@ -89,9 +89,22 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Partition the window by the conv_id EXPRESSION (not user_id): the
+    # mapping user_id → 'conv-' || user_id is injective, so the partitions —
+    # and every row_number — are identical, but Spark's alias-aware output
+    # partitioning then reports the result as hash-partitioned by conv_id.
+    # Downstream conv_id-keyed consumers (assemble_documents' groupBy, the
+    # sessionize/rollup windows) satisfy their distribution straight off this
+    # exchange instead of re-shuffling the full turn payload a second time
+    # (optimization guide §2.4: two operations keyed the same way share one
+    # exchange). Verified by plans/r06/assemble_after.txt: 2 Exchange → 1.
+    # conv_id must be a concrete attribute BEFORE the window: partitioning on
+    # the raw concat() expression makes the planner extract it into a hidden
+    # `_w0` projection whose partitioning no later alias can claim.
+    ev = ev.withColumn("conv_id", F.concat(F.lit("conv-"), F.col("user_id").cast("string")))
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     return ev.select(
-        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.when(F.col("event_type") == "signup", F.lit("system"))
         .when(F.col("event_type").isin("click", "view"), F.lit("user"))

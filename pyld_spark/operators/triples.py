@@ -53,17 +53,19 @@ def turn_literal_triples(transcripts: DataFrame) -> DataFrame:
     SURVEY.md §1.2 (flat > nested: join/hash friendly).
     """
     s = turn_iri(F.col("conv_id"), F.col("turn_idx"))
+    # fixed 5-slot array with a null slot for an absent tool, filtered after
+    # the explode: one array build per row instead of a CASE whose branches
+    # duplicate the 4-triple array expression and copy it on append
+    # (optimization guide §1.2 per-task work; measured ~8% off the stage)
     trips = F.array(
         _iri_triple(s, RDF + "type", F.lit(VOCAB + "Turn")),
         _lit_triple(s, VOCAB + "turnIndex", F.col("turn_idx").cast("string"), XSD + "integer"),
         _lit_triple(s, VOCAB + "role", F.col("role")),
         _lit_triple(s, VOCAB + "text", F.col("text")),
+        F.when(F.col("tool").isNotNull(), _lit_triple(s, VOCAB + "tool", F.col("tool"))),
     )
-    with_tool = F.when(
-        F.col("tool").isNotNull(),
-        F.array_append(trips, _lit_triple(s, VOCAB + "tool", F.col("tool"))),
-    ).otherwise(trips)
     return (
-        transcripts.select(F.explode(with_tool).alias("t"))
+        transcripts.select(F.explode(trips).alias("t"))
+        .where(F.col("t").isNotNull())
         .select([F.col(f"t.{c}").alias(c) for c in TRIPLE_COLS])
     )

@@ -103,9 +103,23 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `_w0` projection whose partitioning no later alias can claim.
     ev = ev.withColumn("conv_id", F.concat(F.lit("conv-"), F.col("user_id").cast("string")))
     w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
-    return ev.select(
-        F.col("conv_id"),
+    # Two-stage shape: the window stage ships only the RAW event columns
+    # through its exchange and the derived role/text/tool projections run in a
+    # separate Project ABOVE the window. Folding them into one select puts the
+    # string-building in the pre-shuffle scan stage, whose parallelism is
+    # capped by the input file's row-group count (4 tasks at sf1.0) — the
+    # post-window stage runs at full shuffle width, and the exchange carries
+    # event_type/value/props instead of the fatter concatenated text
+    # (optimization guide §2.3: shuffle fewer bytes; §2.5: input-parallelism
+    # skew fixed after the read). Expressions are unchanged, so results are
+    # identical (DuckDB oracle: 68/68).
+    staged = ev.select(
+        "conv_id", "event_type", "value", "props", "user_id", "event_id", "ts",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+    )
+    return staged.select(
+        F.col("conv_id"),
+        F.col("turn_idx"),
         F.when(F.col("event_type") == "signup", F.lit("system"))
         .when(F.col("event_type").isin("click", "view"), F.lit("user"))
         .when(F.col("event_type") == "purchase", F.lit("assistant"))

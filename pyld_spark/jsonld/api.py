@@ -331,6 +331,10 @@ def to_rdf(document, options: dict | None = None):
             rdf_direction=o.get("rdfDirection"),
         )
         return serialize_quads(quads)
+    if o.get("format") is not None:
+        # reference parity (jsonld.py:1047-1056): any other requested
+        # serialization is an error, not a silent dataset-dict return
+        raise JsonLdError("Unknown output format.", "jsonld.UnknownFormat")
     # no serialization requested: the reference returns the RDF-dataset
     # dict ({graph_name: [{subject, predicate, object}, ...]}) — the same
     # shape its parse_nquads produces and from_rdf accepts. Built from the

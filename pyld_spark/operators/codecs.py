@@ -634,12 +634,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    scan_sel = None
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte(s) before a marker (B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -695,12 +699,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += seglen
             break
         pos += seglen
-    else:
+    if scan_sel is None:  # loop exhausted or EOI before any SOS
         raise ValueError("no SOS marker found")
     if frame is None:
         raise ValueError("no SOF frame header before scan")
 
     fh, fw, comps = frame
+    if len(scan_sel) != len(comps):
+        # a legal baseline stream may carry one scan per component; this
+        # decoder only handles the single interleaved scan — decoding just
+        # the first scan would yield silently wrong planes, so raise like
+        # the other unsupported modes
+        raise NotImplementedError(
+            "non-interleaved / multi-scan baseline JPEG unsupported"
+        )
     by_id = {c["id"]: c for c in comps}
     order = []
     for cs, td, ta in scan_sel:

@@ -374,3 +374,72 @@ def test_decode_image_real_jpeg_path(spark):
     ).hexdigest()
     assert out[1]["pixels_checksum"] == want
     assert (out[1]["out_width"], out[1]["out_height"]) == (8, 8)
+
+
+def test_jpeg_fill_bytes_before_marker_ok():
+    """0xFF fill bytes before a marker are legal padding (B.1.1.2) and must
+    not desync the marker parser."""
+    import numpy as np
+
+    from pyld_spark.operators.codecs import decode_jpeg, encode_jpeg_baseline
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    data = encode_jpeg_baseline(img, quality=90)
+    assert data[:2] == b"\xFF\xD8"
+    padded = data[:2] + b"\xFF\xFF\xFF" + data[2:]
+    out = decode_jpeg(padded)
+    assert out.shape[:2] == (8, 8)
+    assert (out.astype(int) - decode_jpeg(data).astype(int)).max() == 0
+
+
+def test_jpeg_eoi_before_sos_clean_error():
+    import pytest
+
+    from pyld_spark.operators.codecs import decode_jpeg
+
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(b"\xFF\xD8\xFF\xD9")
+
+
+def test_jpeg_non_interleaved_scan_raises():
+    """A baseline stream whose first SOS covers fewer components than the
+    frame (non-interleaved / multi-scan) must raise, not decode one plane and
+    return silently wrong pixels."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pyld_spark.operators.codecs import decode_jpeg, encode_jpeg_baseline
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_baseline(img, quality=90))
+    # find the SOS segment and rewrite it to reference only component 1
+    i = data.find(b"\xFF\xDA")
+    assert i != -1
+    (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+    ns = data[i + 4]
+    assert ns == 3
+    # one-component scan: ns=1, keep comp 1's tables, spectral bytes same
+    comp1 = bytes(data[i + 5:i + 7])
+    tail = bytes(data[i + 4 + 1 + 2 * ns:i + 2 + seglen])
+    new_payload = bytes([1]) + comp1 + tail
+    new_seg = b"\xFF\xDA" + struct.pack(">H", 2 + len(new_payload)) + new_payload
+    data[i:i + 2 + seglen] = new_seg
+    with pytest.raises(NotImplementedError, match="non-interleaved|multi-scan"):
+        decode_jpeg(bytes(data))
+
+
+def test_to_rdf_unknown_format_raises():
+    import pytest
+
+    from pyld_spark.jsonld.api import to_rdf
+    from pyld_spark.jsonld.errors import JsonLdError
+
+    doc = {"@id": "http://e/a", "http://e/p": "v"}
+    with pytest.raises(JsonLdError) as ei:
+        to_rdf(doc, {"format": "application/trig"})
+    assert "Unknown output format" in str(ei.value)
+    # the n-quads formats and the no-format dataset dialect still work
+    assert "<http://e/a>" in to_rdf(doc, {"format": "application/n-quads"})
+    assert "@default" in to_rdf(doc)

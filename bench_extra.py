@@ -47,6 +47,7 @@ def main() -> None:
             results[name] = f"ERR: {type(ex).__name__}: {ex}"[:200]
         finally:
             spark.sparkContext.setJobDescription(None)
+        print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
     print(json.dumps({"queries": results, "sf_dir": sf_dir, "trials": trials}))
     spark.stop()
 

@@ -307,18 +307,34 @@ def embedding_cosine_pairs(
         ]
         return F.concat(*bits)
 
-    q = embeddings.select(
-        F.col(id_col).alias("vid"), quantize_expr(F.col(vec_col), scale).alias("vq")
-    ).withColumn("bucket", signature(F.col("vq")))
-    a = q.select(F.col("vid").alias("id_a"), F.col("vq").alias("vq_a"), "bucket")
-    b = q.select(F.col("vid").alias("id_b"), F.col("vq").alias("vq_b"), "bucket")
     lsum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda x, v: x + v)  # noqa: E731
+    # per-VECTOR work (squared norm) computed once per row before the join —
+    # the old shape re-evaluated both interpreted norm aggregates per
+    # candidate PAIR inside the join (guide §1.2: per-task work; the norms
+    # are exact integers, so the cosine bits are unchanged)
+    q = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), quantize_expr(F.col(vec_col), scale).alias("vq")
+        )
+        .withColumn("bucket", signature(F.col("vq")))
+        .withColumn("_nrm", lsum(F.transform(F.col("vq"), lambda x: x * x)))
+    )
+    n = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # explicit width: the bucketed table is small, so AQE would run the whole
+    # quadratic per-bucket join output in one task (the candidate volume is
+    # in the join OUTPUT, invisible to AQE)
+    a = q.select(
+        F.col("vid").alias("id_a"), F.col("vq").alias("vq_a"),
+        F.col("_nrm").alias("_na"), "bucket",
+    ).repartition(n, "bucket")
+    b = q.select(
+        F.col("vid").alias("id_b"), F.col("vq").alias("vq_b"),
+        F.col("_nrm").alias("_nb"), "bucket",
+    )
     dot = lsum(F.zip_with(F.col("vq_a"), F.col("vq_b"), lambda x, y: x * y))
-    na = lsum(F.transform(F.col("vq_a"), lambda x: x * x))
-    nb = lsum(F.transform(F.col("vq_b"), lambda x: x * x))
-    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    cos = dot.cast("double") / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double"))
     return (
-        a.join(b, "bucket")
+        a.join(F.broadcast(b), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_q6", F.floor(cos * 1000000).cast("bigint"))
         .filter(F.col("cos_q6") >= threshold_q6)
@@ -421,27 +437,51 @@ def simhash_near_pairs_md5(
     blocks = F.array(
         *[F.substring(F.col("simbits"), o + 1, ln) for o, ln in offsets]
     )
+    # Pack the bit-string ONCE per row into two 32-bit halves: the pair
+    # Hamming distance is then xor+bit_count (whole-stage codegen) instead of
+    # an interpreted 64-step aggregate over substrings evaluated per
+    # CANDIDATE pair in the join filter. At max_hamming=16 the pigeonhole
+    # blocks are 4 bits wide (17x16 = 272 join keys), so candidate pairs are
+    # ~N^2/16 per block index — at 5k docs the old expression evaluated ~10^9
+    # interpreted ops in ONE task (25+ min); this shape runs in seconds.
+    # Exactly the same distance: count of differing '0'/'1' chars ==
+    # bit_count of the xor of the parsed halves.
+    hi = F.conv(F.substring("simbits", 1, 32), 2, 10).cast("long")
+    lo = F.conv(F.substring("simbits", 33, 32), 2, 10).cast("long")
+    n = int(signatures.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     blocked = signatures.select(
-        F.col(id_col).alias("doc"), F.col("simbits"),
+        F.col(id_col).alias("doc"), hi.alias("_hi"), lo.alias("_lo"),
         F.posexplode(blocks).alias("block_idx", "block_val"),
     )
+    # explicit width on the probe side: the blocked table is tiny (17 rows
+    # per doc) so AQE would coalesce it to one partition and run the whole
+    # quadratic join output in a single task; the candidate volume lives in
+    # the join OUTPUT, which AQE cannot see (guide §2.5)
     a = blocked.select(
-        F.col("doc").alias("doc_a"), F.col("simbits").alias("sim_a"),
-        "block_idx", "block_val",
-    )
+        F.col("doc").alias("doc_a"), F.col("_hi").alias("_hi_a"),
+        F.col("_lo").alias("_lo_a"), "block_idx", "block_val",
+    ).repartition(n, "block_idx", "block_val")
     b = blocked.select(
-        F.col("doc").alias("doc_b"), F.col("simbits").alias("sim_b"),
-        "block_idx", "block_val",
+        F.col("doc").alias("doc_b"), F.col("_hi").alias("_hi_b"),
+        F.col("_lo").alias("_lo_b"), "block_idx", "block_val",
     )
-    hamming = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
-        "CASE WHEN substring(sim_a, i, 1) = substring(sim_b, i, 1) "
-        "THEN 0 ELSE 1 END)"
+    hamming = (
+        F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+        + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
     ).cast("bigint")
     return (
-        a.join(b, ["block_idx", "block_val"])
+        a.join(F.broadcast(b), ["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # dedup on the pair BEFORE the distance: a near pair shares up to 17
+        # blocks, so the old shape computed its hamming up to 17 times; the
+        # halves are functions of the doc id, so distinct cardinality is
+        # unchanged
+        .select("doc_a", "doc_b", "_hi_a", "_lo_a", "_hi_b", "_lo_b")
+        .distinct()
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+        # second distinct restores the original's exact multiplicity even for
+        # degenerate inputs with duplicate doc_ids (two signature pairs, same
+        # distance); it runs on the already-deduped pair set, so it is cheap
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -632,8 +672,16 @@ def semantic_dedup(
     # of the pairwise join below; the lazy checkpoint truncates lineage so
     # the three consumers (output rows + both join sides) read the ranked
     # table instead of re-running the broadcast argmax pass each
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda x, v: x + v
+    )
+    n = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranked = (
-        assign.repartition("cell_id")
+        # explicit partition count: with the column-only form AQE coalesces
+        # the small ranked table to one partition and the quadratic pairwise
+        # join below runs in a single task (its output volume is invisible
+        # to AQE); the count is conf-driven, not a local constant
+        assign.repartition(n, "cell_id")
         .withColumn(
             "centroid_rank",
             F.row_number()
@@ -644,28 +692,28 @@ def semantic_dedup(
             )
             .cast("int"),
         )
+        # per-vector squared norm once per row, NOT per candidate pair in
+        # the join below (exact integer — cosine bits unchanged)
+        .withColumn("_nrm", lsum(F.transform(F.col("_vq"), lambda x: x * x)))
         .localCheckpoint(eager=False)
     )
     a = ranked.select(
         "cell_id",
         F.col("centroid_rank").alias("_rank_a"),
         F.col("_vq").alias("_vq_a"),
+        F.col("_nrm").alias("_na"),
     )
     b = ranked.select(
         "cell_id",
         F.col("centroid_rank").alias("_rank_b"),
         F.col("_vid").alias("_vid_b"),
         F.col("_vq").alias("_vq_b"),
-    )
-    lsum = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("long"), lambda x, v: x + v
+        F.col("_nrm").alias("_nb"),
     )
     dot = lsum(F.zip_with(F.col("_vq_a"), F.col("_vq_b"), lambda x, y: x * y))
-    na = lsum(F.transform(F.col("_vq_a"), lambda x: x * x))
-    nb = lsum(F.transform(F.col("_vq_b"), lambda x: x * x))
     cos_q6 = F.floor(
         dot.cast("double")
-        / F.sqrt(na.cast("double") * nb.cast("double"))
+        / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double"))
         * 1000000
     ).cast("bigint")
     dropped = (

@@ -175,11 +175,41 @@ def triangle_counts(
         F.greatest(F.col(src), F.col(dst)).alias("hi"),
     ).filter(F.col("lo") != F.col("hi")).distinct()
 
-    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    wedges = e1.join(e2, "b")
-    e3 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    triangles = wedges.join(e3, ["a", "c"])
+    # Degree-ordered orientation (compact-forward): re-orient every canonical
+    # edge from its lower-(degree, id) endpoint to its higher one and build
+    # wedges as pairs of OUT-edges of the low vertex. Any total order
+    # enumerates each triangle exactly once, so the output is identical to
+    # the id-ordered formulation — but with id order the wedge fan-out is
+    # sum(deg^2) over MIDDLE nodes, which explodes on co-mention hubs
+    # (82 s at sf0.1); with degree order the out-degree of every vertex is
+    # O(sqrt(m)) amortized, the standard bound. The degree table is one row
+    # per node and broadcasts (guide §3.1); both remaining joins stay keyed
+    # equi-joins. Measured sf0.1 entity_triangles: 82.3 -> ~2 s.
+    deg = (
+        canon.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    with_deg = (
+        canon.join(F.broadcast(deg.withColumnRenamed("node", "lo")), "lo")
+        .withColumnRenamed("_deg", "_dlo")
+        .join(F.broadcast(deg.withColumnRenamed("node", "hi")), "hi")
+        .withColumnRenamed("_deg", "_dhi")
+    )
+    lo_first = F.struct(F.col("_dlo"), F.col("lo")) < F.struct(F.col("_dhi"), F.col("hi"))
+    directed = with_deg.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("_dhi")).otherwise(F.col("_dlo")).alias("_dv"),
+    )
+    w1 = directed.select(F.col("u"), F.col("v").alias("b"), F.col("_dv").alias("_db"))
+    w2 = directed.select(F.col("u"), F.col("v").alias("c"), F.col("_dv").alias("_dc"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.struct(F.col("_db"), F.col("b")) < F.struct(F.col("_dc"), F.col("c")))
+        .select(F.col("u").alias("a"), "b", "c")
+    )
+    closing = directed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    triangles = wedges.join(closing, ["b", "c"])
 
     member = triangles.select(
         F.explode(F.array("a", "b", "c")).alias("node"))

@@ -69,7 +69,14 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("size"))
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sh_f = sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "sh")
-    a = sh_f.select(F.col("doc").alias("doc_a"), "sh")
+    # explicit conf-driven width on the probe side: the filtered posting
+    # list is small, so AQE coalesces it to a couple of partitions — but the
+    # self-join OUTPUT is sum(df^2) rows (285M at sf0.1), invisible to AQE,
+    # and would grind through one or two tasks (guide §2.5). The partial
+    # aggregation below still runs map-side, so the (doc_a, doc_b) shuffle
+    # stays bounded by the candidate-pair count.
+    n = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = sh_f.select(F.col("doc").alias("doc_a"), "sh").repartition(n, "sh")
     b = sh_f.select(F.col("doc").alias("doc_b"), "sh")
     inter = (
         a.join(b, "sh")
@@ -100,16 +107,47 @@ def minhash_signatures(
     Permutation i = xxhash64(shingle, seed_i); the signature entry is the
     minimum over shingles — all inside one JVM projection, no shuffle.
     """
-    shingles = shingle_expr(text_col, k)
-
-    def _perm_hash(i):
-        # closure factory — a 2-arg lambda would be given (element, index)
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_hashes)]
+    return _exploded_signatures(
+        documents, text_col, id_col, k, num_hashes,
+        lambda s, p: F.xxhash64(s, p),
     )
-    return documents.select(F.col(id_col), sig.alias("sig"))
+
+
+def _exploded_signatures(documents, text_col, id_col, k, num_hashes, perm_hash):
+    """Shared signature dataflow: explode shingles × permutation ids, hash in
+    a flat codegen projection, map-side-aggregate the per-(doc, perm) minima,
+    and rebuild the perm-ordered array.
+
+    Byte-identical to the old ``array(array_min(transform(shingles, h_i)))``
+    projection (pinned by tests/test_r06_optimized_ops.py incl. null/empty/
+    short-text docs) but ~20x faster: higher-order functions are interpreted
+    expressions, and the nested form both re-built the shingle array once per
+    permutation and evaluated every hash through the interpreter
+    (optimization guide §4.1: built-ins/codegen over per-element interpreted
+    work; §2.3: the (doc, perm, min) shuffle is tiny because partial
+    aggregation runs map-side). Requires ``id_col`` to identify rows (the
+    established contract of every dedup operator here): duplicate ids
+    collapse to one signature row.
+    """
+    sh = documents.select(
+        F.col(id_col), F.explode(shingle_expr(text_col, k)).alias("_s")
+    )
+    perms = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_p"),
+        "_s",
+    )
+    mins = (
+        perms.select(id_col, "_p", perm_hash(F.col("_s"), F.col("_p")).alias("_h"))
+        .groupBy(id_col, "_p")
+        .agg(F.min("_h").alias("_m"))
+    )
+    return mins.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_p"), F.col("_m")))),
+            lambda s: s["_m"],
+        ).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -159,7 +197,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash pipeline: signatures → LSH candidates → verify candidates
     with estimated Jaccard (signature agreement)."""
+    # one small row per doc; the lazy checkpoint makes the three consumers
+    # (banding sides + both verification joins) read the computed signature
+    # table instead of re-running the whole shingle+hash pipeline each —
+    # the plan had FOUR full signature computations and zero exchange reuse
     sigs = minhash_signatures(documents, text_col, id_col, k, num_hashes)
+    sigs = sigs.localCheckpoint(eager=False)
     cands = minhash_lsh_pairs(sigs, id_col, bands, num_hashes // bands)
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -197,16 +240,10 @@ def minhash_signatures_md5(
     basis (:func:`minhash_signatures`) stays the production scale path
     (8-byte entries instead of 32-char strings).
     """
-    shingles = shingle_expr(text_col, k)
-
-    def _perm_hash(i):
-        # closure factory — a 2-arg lambda would be given (element, index)
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_hashes)]
+    return _exploded_signatures(
+        documents, text_col, id_col, k, num_hashes,
+        lambda s, p: F.md5(F.concat(p.cast("string"), F.lit(":"), s)),
     )
-    return documents.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_dedup_pairs_md5(
@@ -227,7 +264,9 @@ def minhash_dedup_pairs_md5(
     comparison is bit-exact across engines.
     """
     rows_per_band = num_hashes // bands
+    # lazy checkpoint: same 4x-recompute fix as minhash_dedup_pairs
     sigs = minhash_signatures_md5(documents, text_col, id_col, k, num_hashes)
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
@@ -400,31 +439,36 @@ def simhash_signatures_md5(
     The xxhash64-long basis (:func:`simhash_signatures`) remains the scale
     path; this variant exists for the DuckDB-certified gate query.
     """
+    # Explode tokens and aggregate the 64 ±1 bit sums as flat codegen
+    # conditional sums instead of an interpreted aggregate-of-zip_with over a
+    # 64-wide array per token (guide §4.1: HOFs are interpreted expressions).
+    # explode_outer keeps token-less docs (null/empty/whitespace text): their
+    # single null-hash row contributes 0 to every sum, so they still emit the
+    # all-zeros signature the old projection produced. Byte-identical output
+    # pinned by tests/test_r06_optimized_ops.py. Duplicate ids collapse to
+    # one row (the id contract shared by every dedup operator here).
     tokens = F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
-    md5s = F.transform(tokens, lambda t: F.md5(t))
+    tok = documents.select(
+        F.col(id_col), F.explode_outer(tokens).alias("_t")
+    ).select(F.col(id_col), F.md5(F.col("_t")).alias("_h"))
 
-    def _bits_pm1(h):
-        # ±1 per bit position for one token hash
-        def bit(j):
-            digit = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
-            return F.when(
-                F.shiftright(digit, j % 4).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+    def pm1(j):
+        digit = F.conv(F.substring(F.col("_h"), j // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+        return F.when(F.col("_h").isNull(), F.lit(0)).otherwise(
+            F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+        )
 
-        return F.array(*[bit(j) for j in range(64)])
-
-    zeros = F.array(*[F.lit(0) for _ in range(64)])
-    sums = F.aggregate(
-        md5s, zeros, lambda acc, h: F.zip_with(acc, _bits_pm1(h), lambda a, b: a + b)
+    sums = tok.groupBy(id_col).agg(
+        *[F.sum(pm1(j)).alias(f"_s{j}") for j in range(64)]
     )
-    with_sums = documents.select(F.col(id_col), sums.alias("_sums"))
     bits = F.concat(
         *[
-            F.when(F.col("_sums")[j] > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.col(f"_s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
             for j in range(64)
         ]
     )
-    return with_sums.select(F.col(id_col), bits.alias("simbits"))
+    return sums.select(F.col(id_col), bits.alias("simbits"))
 
 
 def simhash_near_pairs_md5(
@@ -449,6 +493,9 @@ def simhash_near_pairs_md5(
     hi = F.conv(F.substring("simbits", 1, 32), 2, 10).cast("long")
     lo = F.conv(F.substring("simbits", 33, 32), 2, 10).cast("long")
     n = int(signatures.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # both join sides derive from the signature table — checkpoint it lazily
+    # so the (groupBy-heavy) signature computation runs once, not per side
+    signatures = signatures.localCheckpoint(eager=False)
     blocked = signatures.select(
         F.col(id_col).alias("doc"), hi.alias("_hi"), lo.alias("_lo"),
         F.posexplode(blocks).alias("block_idx", "block_val"),
@@ -472,18 +519,15 @@ def simhash_near_pairs_md5(
     return (
         a.join(F.broadcast(b), ["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # dedup on the pair BEFORE the distance: a near pair shares up to 17
-        # blocks, so the old shape computed its hamming up to 17 times; the
-        # halves are functions of the doc id, so distinct cardinality is
-        # unchanged
-        .select("doc_a", "doc_b", "_hi_a", "_lo_a", "_hi_b", "_lo_b")
-        .distinct()
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        # second distinct restores the original's exact multiplicity even for
-        # degenerate inputs with duplicate doc_ids (two signature pairs, same
-        # distance); it runs on the already-deduped pair set, so it is cheap
-        .distinct()
+        # filter BEFORE the distinct: the xor+bit_count distance is codegen-
+        # cheap per generated pair, and at max_hamming=16 it drops the vast
+        # majority of the ~sum(block_df^2) candidates, so the distinct
+        # aggregates a small survivor set instead of every generated pair.
+        # distinct-then-filter == filter-then-distinct on a derived column,
+        # so the output is unchanged for every input.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -520,8 +564,10 @@ def simhash_near_pairs(
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
+        # filter before distinct (same output — see the md5 variant): the
+        # distance is one xor+bit_count, the distinct is the expensive part
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -89,6 +89,103 @@ def test_triangle_counts_matches_round5_formulation(spark, seed):
     assert new == old
 
 
+def _old_minhash_signatures_md5(documents, text_col="text", id_col="doc_id",
+                                k=5, num_hashes=32):
+    """Round-5 formulation: nested interpreted HOFs, one per permutation."""
+    from pyld_spark.operators.dedup import shingle_expr
+
+    shingles = shingle_expr(text_col, k)
+
+    def _perm_hash(i):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_hashes)]
+    )
+    return documents.select(F.col(id_col), sig.alias("sig"))
+
+
+def _old_minhash_signatures_xx(documents, text_col="text", id_col="doc_id",
+                               k=5, num_hashes=64):
+    from pyld_spark.operators.dedup import shingle_expr
+
+    shingles = shingle_expr(text_col, k)
+
+    def _perm_hash(i):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(num_hashes)]
+    )
+    return documents.select(F.col(id_col), sig.alias("sig"))
+
+
+def _old_simhash_signatures_md5(documents, text_col="text", id_col="doc_id"):
+    """Round-5 formulation: interpreted aggregate of 64-wide zip_with."""
+    tokens = F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+    md5s = F.transform(tokens, lambda t: F.md5(t))
+
+    def _bits_pm1(h):
+        def bit(j):
+            digit = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+            return F.when(
+                F.shiftright(digit, j % 4).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.array(*[bit(j) for j in range(64)])
+
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    sums = F.aggregate(
+        md5s, zeros, lambda acc, h: F.zip_with(acc, _bits_pm1(h), lambda a, b: a + b)
+    )
+    with_sums = documents.select(F.col(id_col), sums.alias("_sums"))
+    bits = F.concat(
+        *[
+            F.when(F.col("_sums")[j] > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(64)
+        ]
+    )
+    return with_sums.select(F.col(id_col), bits.alias("simbits"))
+
+
+def test_simhash_signatures_md5_match_round5_formulation(spark):
+    rnd = random.Random(11)
+    words = [f"tok{i}" for i in range(30)]
+    rows = [(i, " ".join(rnd.choices(words, k=rnd.randint(1, 25)))) for i in range(50)]
+    rows += [(9001, None), (9002, ""), (9003, "   "), (9004, "one"),
+             (9005, "  leading and   multiple   spaces ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    try:
+        new = {r["doc_id"]: r["simbits"]
+               for r in simhash_signatures_md5(docs).collect()}
+        old = {r["doc_id"]: r["simbits"]
+               for r in _old_simhash_signatures_md5(docs).collect()}
+        assert new == old
+        assert all(len(v) == 64 for v in new.values())
+    finally:
+        docs.unpersist()
+
+
+def test_minhash_signatures_match_round5_formulation(spark):
+    from pyld_spark.operators.dedup import minhash_signatures, minhash_signatures_md5
+
+    rnd = random.Random(7)
+    rows = [(i, "".join(rnd.choices("abcdef ", k=rnd.randint(0, 40))))
+            for i in range(60)]
+    rows += [(9001, None), (9002, ""), (9003, "ab"), (9004, "exactly5")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    try:
+        for new_fn, old_fn, nh in (
+            (minhash_signatures_md5, _old_minhash_signatures_md5, 32),
+            (minhash_signatures, _old_minhash_signatures_xx, 64),
+        ):
+            new = {r["doc_id"]: list(r["sig"]) for r in new_fn(docs, num_hashes=nh).collect()}
+            old = {r["doc_id"]: list(r["sig"]) for r in old_fn(docs, num_hashes=nh).collect()}
+            assert new == old
+    finally:
+        docs.unpersist()
+
+
 @pytest.mark.parametrize("max_hamming", [3, 16])
 def test_simhash_pairs_md5_matches_round5_formulation(spark, max_hamming):
     rnd = random.Random(42)

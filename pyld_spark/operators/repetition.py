@@ -98,6 +98,10 @@ def repetition_stats(
         F.expr(r"filter(split(_t, '\n{2,}'), x -> length(x) > 0)").alias("paras"),
         F.expr(r"filter(split(lower(_t), '\\s+'), x -> x <> '')").alias("words"),
     )
+    # four consumers (line stats, para stats, the 9-way gram explode, and the
+    # final doc spine) would each re-scan the input and re-evaluate the three
+    # interpreted split/filter arrays; the lazy checkpoint computes them once
+    base = base.localCheckpoint(eager=False)
 
     line_stats = _unit_stats(
         base.select("doc_id", F.explode("lines").alias("unit")), "doc_id", "line"

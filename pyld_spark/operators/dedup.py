@@ -362,6 +362,9 @@ def embedding_cosine_pairs(
     # explicit width: the bucketed table is small, so AQE would run the whole
     # quadratic per-bucket join output in one task (the candidate volume is
     # in the join OUTPUT, invisible to AQE)
+    # co-partitioned on the bucket key (no forced-broadcast hint: the
+    # bucketed table is corpus-sized; the optimizer may still auto-broadcast
+    # one side when it genuinely fits)
     a = q.select(
         F.col("vid").alias("id_a"), F.col("vq").alias("vq_a"),
         F.col("_nrm").alias("_na"), "bucket",
@@ -369,11 +372,11 @@ def embedding_cosine_pairs(
     b = q.select(
         F.col("vid").alias("id_b"), F.col("vq").alias("vq_b"),
         F.col("_nrm").alias("_nb"), "bucket",
-    )
+    ).repartition(n, "bucket")
     dot = lsum(F.zip_with(F.col("vq_a"), F.col("vq_b"), lambda x, y: x * y))
     cos = dot.cast("double") / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double"))
     return (
-        a.join(F.broadcast(b), "bucket")
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_q6", F.floor(cos * 1000000).cast("bigint"))
         .filter(F.col("cos_q6") >= threshold_q6)
@@ -504,6 +507,11 @@ def simhash_near_pairs_md5(
     # per doc) so AQE would coalesce it to one partition and run the whole
     # quadratic join output in a single task; the candidate volume lives in
     # the join OUTPUT, which AQE cannot see (guide §2.5)
+    # co-partition BOTH sides with an explicit count (REPARTITION_BY_NUM is
+    # exempt from AQE coalescing): the join runs wide at any scale, and the
+    # optimizer remains free to auto-broadcast one side when it actually
+    # fits — no forced-broadcast hint, because the blocked table is
+    # 17 rows/doc and grows with the corpus
     a = blocked.select(
         F.col("doc").alias("doc_a"), F.col("_hi").alias("_hi_a"),
         F.col("_lo").alias("_lo_a"), "block_idx", "block_val",
@@ -511,13 +519,13 @@ def simhash_near_pairs_md5(
     b = blocked.select(
         F.col("doc").alias("doc_b"), F.col("_hi").alias("_hi_b"),
         F.col("_lo").alias("_lo_b"), "block_idx", "block_val",
-    )
+    ).repartition(n, "block_idx", "block_val")
     hamming = (
         F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
         + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
     ).cast("bigint")
     return (
-        a.join(F.broadcast(b), ["block_idx", "block_val"])
+        a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         # filter BEFORE the distinct: the xor+bit_count distance is codegen-

@@ -183,16 +183,18 @@ def triangle_counts(
     # sum(deg^2) over MIDDLE nodes, which explodes on co-mention hubs
     # (82 s at sf0.1); with degree order the out-degree of every vertex is
     # O(sqrt(m)) amortized, the standard bound. The degree table is one row
-    # per node and broadcasts (guide §3.1); both remaining joins stay keyed
-    # equi-joins. Measured sf0.1 entity_triangles: 82.3 -> ~2 s.
+    # per node (the optimizer auto-broadcasts it while it fits; at larger
+    # |V| these stay keyed equi-joins — no forced hint); both remaining
+    # joins stay keyed equi-joins. Measured sf0.1 entity_triangles:
+    # 82.3 -> ~3 s.
     deg = (
         canon.select(F.explode(F.array("lo", "hi")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("_deg"))
     )
     with_deg = (
-        canon.join(F.broadcast(deg.withColumnRenamed("node", "lo")), "lo")
+        canon.join(deg.withColumnRenamed("node", "lo"), "lo")
         .withColumnRenamed("_deg", "_dlo")
-        .join(F.broadcast(deg.withColumnRenamed("node", "hi")), "hi")
+        .join(deg.withColumnRenamed("node", "hi"), "hi")
         .withColumnRenamed("_deg", "_dhi")
     )
     lo_first = F.struct(F.col("_dlo"), F.col("lo")) < F.struct(F.col("_dhi"), F.col("hi"))
